@@ -1,0 +1,187 @@
+"""Configuration system.
+
+Re-creates the selectable axes of the reference's ``params.py``/``cfg.py``
+enums (``NoiseAlgorithm``, ``Pipeline``, ``NoiseValue`` — SURVEY.md §2.1, §5.6)
+as frozen dataclasses that serialize into checkpoints.
+
+Axes (SURVEY.md §5.6, the [B] config matrix):
+  * algorithm:  ssdn | ssdn_mse (mu-only ablation) | n2c | n2n
+  * noise:      gauss sigma | gauss blind [a, b] | poisson lam | impulse p
+  * sigma known / blind (estimated by the network)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import re
+from typing import Optional, Tuple
+
+
+class NoiseModel(str, enum.Enum):
+    GAUSSIAN = "gaussian"
+    POISSON = "poisson"
+    IMPULSE = "impulse"
+
+
+class NoiseValue(str, enum.Enum):
+    """How the noise parameter is obtained at loss/posterior time.
+
+    KNOWN: the true per-image parameter used by the injector is fed to the
+    estimator.  BLIND: the network emits an extra channel from which the
+    parameter is estimated (SURVEY.md §2.5 "blind-sigma").
+    """
+
+    KNOWN = "known"
+    BLIND = "blind"
+
+
+class Pipeline(str, enum.Enum):
+    """Training pipeline / algorithm (reference ``NoiseAlgorithm`` [R])."""
+
+    SSDN = "ssdn"          # blind-spot net + Bayesian NLL / posterior mean
+    SSDN_MSE = "ssdn_mse"  # blind-spot net, mu-only MSE ablation
+    N2C = "n2c"            # supervised: noisy -> clean, plain U-Net
+    N2N = "n2n"            # noise2noise: noisy -> independently-noisy target
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    model: NoiseModel = NoiseModel.GAUSSIAN
+    value: NoiseValue = NoiseValue.KNOWN
+    # Gaussian: sigma range in 0..255 units; sigma_min == sigma_max => fixed.
+    sigma_min: float = 25.0
+    sigma_max: float = 25.0
+    # Poisson: event count at intensity 1.0 (lambda).
+    lam: float = 30.0
+    # Impulse: per-pixel replacement probability alpha.
+    alpha: float = 0.5
+
+    @property
+    def fixed_sigma(self) -> bool:
+        return self.sigma_min == self.sigma_max
+
+    def describe(self) -> str:
+        if self.model == NoiseModel.GAUSSIAN:
+            rng = (
+                f"{self.sigma_min:g}"
+                if self.fixed_sigma
+                else f"[{self.sigma_min:g},{self.sigma_max:g}]"
+            )
+            return f"gauss sigma={rng} ({self.value.value})"
+        if self.model == NoiseModel.POISSON:
+            return f"poisson lam={self.lam:g} ({self.value.value})"
+        return f"impulse alpha={self.alpha:g} ({self.value.value})"
+
+
+_STYLE_RE = re.compile(
+    r"^(?P<kind>gauss|poisson|impulse)(?P<a>\d+(?:\.\d+)?)?(?:[_-](?P<b>\d+(?:\.\d+)?))?$"
+)
+
+
+def parse_noise_style(style: str, blind: bool = False) -> NoiseConfig:
+    """Parse reference-style noise strings: ``gauss25``, ``gauss5_50``,
+    ``poisson30``, ``impulse50`` (impulse argument is percent).
+
+    SURVEY.md §2.1 noise-synthesis row; [B] configs 1-4.
+    """
+    m = _STYLE_RE.match(style.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable noise style: {style!r}")
+    kind, a, b = m.group("kind"), m.group("a"), m.group("b")
+    value = NoiseValue.BLIND if blind else NoiseValue.KNOWN
+    if kind == "gauss":
+        lo = float(a) if a is not None else 25.0
+        hi = float(b) if b is not None else lo
+        return NoiseConfig(
+            model=NoiseModel.GAUSSIAN, value=value, sigma_min=lo, sigma_max=hi
+        )
+    if kind == "poisson":
+        return NoiseConfig(
+            model=NoiseModel.POISSON, value=value, lam=float(a) if a else 30.0
+        )
+    pct = float(a) if a is not None else 50.0
+    return NoiseConfig(model=NoiseModel.IMPULSE, value=value, alpha=pct / 100.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    in_channels: int = 3
+    # Encoder/decoder widths per Laine et al. appendix (SURVEY.md §2.4).
+    enc_features: int = 48
+    dec_features: int = 96
+    nin_a_features: int = 384
+    nin_b_features: int = 96
+    blindspot: bool = True
+    # bf16 conv path, fp32 head/estimator (SURVEY.md §2.5 numerical notes).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
+    conv_backend: str = "lax"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    pipeline: Pipeline = Pipeline.SSDN
+    noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    patch_size: int = 64
+    batch_size: int = 64           # global batch (split over the data mesh axis)
+    iterations: int = 100_000
+    lr: float = 3e-4
+    lr_rampdown_frac: float = 0.3  # cosine rampdown over last fraction [N2N conv.]
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-8
+    # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
+    # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.
+    blind_reg: float = 0.1
+    seed: int = 0
+    eval_interval: int = 10_000
+    snapshot_interval: int = 10_000
+    keep_checkpoints: int = 3
+    grayscale: bool = False
+
+    def __post_init__(self):
+        if self.grayscale and self.model.in_channels != 1:
+            object.__setattr__(
+                self, "model", dataclasses.replace(self.model, in_channels=1)
+            )
+
+
+def n_output_channels(pipeline: Pipeline, noise: NoiseConfig, channels: int) -> int:
+    """Network head width for a pipeline/noise combo (SURVEY.md §2.4).
+
+    SSDN: C (mu) + C(C+1)/2 (covariance params) + 1 if the noise parameter is
+    estimated by the network. Other pipelines regress the image directly.
+    """
+    if pipeline == Pipeline.SSDN:
+        n = channels + channels * (channels + 1) // 2
+        if noise.value == NoiseValue.BLIND:
+            n += 1
+        return n
+    return channels
+
+
+def to_json(cfg) -> str:
+    def default(o):
+        if isinstance(o, enum.Enum):
+            return o.value
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        raise TypeError(type(o))
+
+    return json.dumps(dataclasses.asdict(cfg), default=default, indent=2)
+
+
+def train_config_from_json(s: str) -> TrainConfig:
+    d = json.loads(s)
+    noise = d.pop("noise", {})
+    model = d.pop("model", {})
+    noise["model"] = NoiseModel(noise.get("model", "gaussian"))
+    noise["value"] = NoiseValue(noise.get("value", "known"))
+    d["pipeline"] = Pipeline(d.get("pipeline", "ssdn"))
+    return TrainConfig(
+        noise=NoiseConfig(**noise), model=ModelConfig(**model), **d
+    )

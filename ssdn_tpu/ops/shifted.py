@@ -1,0 +1,119 @@
+"""Shifted ("causal-upward") spatial ops — the blind-spot building blocks.
+
+The reference realizes Laine et al.'s receptive-field restriction with
+pad-shift-crop convolutions (`ShiftConv2d`/`Crop2d` [R], SURVEY.md §2.4):
+every op here preserves the invariant
+
+    output at row r depends only on input rows <= r.
+
+TPU-first design decisions (vs. the reference's separate pad -> conv -> crop
+modules): the shift is folded into the convolution itself as *asymmetric
+padding* of `lax.conv_general_dilated`, so XLA lowers one conv onto the MXU
+with no materialized pad/crop; layout is NHWC (TPU-native); accumulation is
+fp32 via `preferred_element_type` even when activations are bf16.
+
+All functions are pure and jit-safe (static shapes only).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
+    """LeakyReLU(0.1) used after every conv except the final 1x1 [P][N2N]."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def shift_down(x: jax.Array, rows: int = 1) -> jax.Array:
+    """Move content down `rows` pixels: out[:, r] = x[:, r - rows] (zero fill).
+
+    Used (a) to offset the max-pool windows and (b) as the final +1px shift
+    that turns "rows <= r" into "rows < r", creating the blind spot
+    (SURVEY.md §2.4).
+    """
+    if rows == 0:
+        return x
+    pad = [(0, 0), (rows, 0), (0, 0), (0, 0)]
+    return jnp.pad(x, pad)[:, : x.shape[1], :, :]
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    shifted: bool = False,
+    out_dtype: jnp.dtype | None = None,
+    precision: lax.Precision | str | None = None,
+) -> jax.Array:
+    """2-D conv, NHWC x HWIO -> NHWC, SAME width padding, fp32 accumulation.
+
+    shifted=True applies the pad-shift-crop trick in-conv: for a KhxKw kernel
+    the height padding becomes (Kh - 1, 0) instead of SAME, so output row r
+    reads input rows r-(Kh-1) .. r — only rows <= r. Equivalent to the
+    reference's pad-top / conv / crop-bottom pipeline but fused into a single
+    XLA convolution.
+
+    Precision contract: fp32 inputs compute in true fp32 (XLA's default
+    silently downgrades fp32 convs to bf16-class math); bf16 inputs take the
+    fast MXU path with fp32 accumulation via preferred_element_type.
+    """
+    if precision is None and x.dtype == jnp.float32:
+        precision = lax.Precision.HIGHEST
+    kh, kw = w.shape[0], w.shape[1]
+    if shifted:
+        hpad = (kh - 1, 0)
+    else:
+        hpad = ((kh - 1) // 2, kh // 2)
+    wpad = ((kw - 1) // 2, kw // 2)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=(hpad, wpad),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def shifted_maxpool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/2 max-pool with the one-row downward offset.
+
+    A plain 2x2 pool lets pooled row R (covering input rows 2R, 2R+1) leak
+    row-(r+1) information into output row r after upsampling. Shifting the
+    input down one row first makes pooled row R cover rows (2R-1, 2R), so
+    every upsampled row r still only sees rows <= r (SURVEY.md §2.4).
+
+    Padding value is -inf so the virtual row never wins the max.
+    """
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    x = jnp.pad(x, [(0, 0), (1, 0), (0, 0), (0, 0)], constant_values=neg)
+    x = x[:, : x.shape[1] - 1, :, :]
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def upsample_2x_nearest(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample. Output row r reads pooled row floor(r/2),
+    which covers input rows <= r under the shifted pool — no extra shift
+    needed (SURVEY.md §2.4)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
