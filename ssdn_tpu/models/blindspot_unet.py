@@ -1,0 +1,164 @@
+"""The blind-spot U-Net (reference ``NoiseNetwork`` [R]; SURVEY.md §2.4).
+
+Architecture per Laine et al. 2019 [P], built on the Noise2Noise U-Net [N2N]:
+a weight-shared per-branch U-Net over four 90-degree-rotated inputs, every
+3x3 conv made causal-upward by the fused pad-shift-crop (ops.conv2d
+shifted=True), offset max-pools, nearest upsamples; after the shared trunk
+each branch is shifted down 1 px (creating the blind spot), inverse-rotated,
+channel-concatenated (4 x 96 = 384) and combined by three 1x1 convs
+(nin_a 384 -> nin_b 96 -> nin_c n_out, the last linear).
+
+TPU-first design (vs. the reference's 4 sequential passes):
+  * the four branches ride the batch dimension — one conv stack, 4x batch,
+    weight sharing by construction (SURVEY.md §2.3 "in-model parallelism");
+  * the conv trunk runs in bf16 with fp32 accumulation; the 1x1 head and
+    everything after stay fp32 (SURVEY.md §2.5 numerical notes);
+  * params are a plain pytree (nested dict) — trivially shardable with
+    NamedSharding and friendly to custom Pallas paths.
+
+Defining invariant (north-star test, SURVEY.md §2.4): with blindspot=True,
+output(r, c) is exactly independent of input(r, c) and depends on all four
+immediate neighbors (the full-resolution input skip guarantees the tight
+neighbor coverage — see tests/test_model.py).
+
+The same trunk with blindspot=False (no rotation fold, no shifts) is the
+plain U-Net used by the N2C / N2N baseline pipelines (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ssdn_tpu.ops import (
+    conv2d,
+    leaky_relu,
+    rotation_stack,
+    rotation_unstack,
+    shift_down,
+    shifted_maxpool_2x2,
+    upsample_2x_nearest,
+)
+from ssdn_tpu.ops.shifted import maxpool_2x2
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+N_POOLS = 5
+STRIDE = 2 ** N_POOLS  # spatial dims must be divisible by 32
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
+    """He/Kaiming-normal init (N2N convention, SURVEY.md §2.4)."""
+    std = math.sqrt(2.0 / (kh * kw * cin))
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+    b = jnp.zeros((cout,), dtype)
+    return {"w": w, "b": b}
+
+
+def layer_shapes(in_channels: int, *, blindspot: bool = True,
+                 n_out: int = 3, enc: int = 48, dec: int = 96,
+                 nin_a: int = 384, nin_b: int = 96) -> Dict[str, tuple]:
+    """(kh, kw, cin, cout) for every layer; single source of truth for init
+    and for the parameter-count test."""
+    c = in_channels
+    shapes = {
+        "enc0": (3, 3, c, enc),
+        "enc1": (3, 3, enc, enc),
+        "enc2": (3, 3, enc, enc),
+        "enc3": (3, 3, enc, enc),
+        "enc4": (3, 3, enc, enc),
+        "enc5": (3, 3, enc, enc),
+        "enc6": (3, 3, enc, enc),
+        "dec5a": (3, 3, enc + enc, dec),
+        "dec5b": (3, 3, dec, dec),
+        "dec4a": (3, 3, dec + enc, dec),
+        "dec4b": (3, 3, dec, dec),
+        "dec3a": (3, 3, dec + enc, dec),
+        "dec3b": (3, 3, dec, dec),
+        "dec2a": (3, 3, dec + enc, dec),
+        "dec2b": (3, 3, dec, dec),
+        "dec1a": (3, 3, dec + c, dec),
+        "dec1b": (3, 3, dec, dec),
+    }
+    combined = 4 * dec if blindspot else dec
+    shapes["nin_a"] = (1, 1, combined, nin_a)
+    shapes["nin_b"] = (1, 1, nin_a, nin_b)
+    shapes["nin_c"] = (1, 1, nin_b, n_out)
+    return shapes
+
+
+def init_params(key: jax.Array, in_channels: int, n_out: int,
+                *, blindspot: bool = True, enc: int = 48, dec: int = 96,
+                nin_a: int = 384, nin_b: int = 96,
+                dtype=jnp.float32) -> Params:
+    shapes = layer_shapes(in_channels, blindspot=blindspot, n_out=n_out,
+                          enc=enc, dec=dec, nin_a=nin_a, nin_b=nin_b)
+    keys = jax.random.split(key, len(shapes))
+    return {
+        name: _conv_init(k, *shape, dtype=dtype)
+        for k, (name, shape) in zip(keys, shapes.items())
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for leaf in params.values() for x in leaf.values())
+
+
+def _branch(params: Params, x: jax.Array, *, shifted: bool,
+            compute_dtype) -> jax.Array:
+    """The shared U-Net trunk on a (possibly rotation-folded) batch."""
+    pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
+
+    def conv(name, h):
+        p = params[name]
+        return leaky_relu(
+            conv2d(h, p["w"], p["b"], shifted=shifted, out_dtype=compute_dtype)
+        )
+
+    x = x.astype(compute_dtype)
+    skips = [x]
+    h = conv("enc1", conv("enc0", x))
+    h = pool(h)                       # pool1
+    skips.append(h)
+    for i in (2, 3, 4):
+        h = pool(conv(f"enc{i}", h))  # pool2..4
+        skips.append(h)
+    h = pool(conv("enc5", h))         # pool5
+    h = conv("enc6", h)
+    # skips = [input, pool1, pool2, pool3, pool4]; decode coarse -> fine
+    for stage, skip in zip((5, 4, 3, 2, 1), reversed(skips)):
+        h = upsample_2x_nearest(h)
+        h = jnp.concatenate([h, skip.astype(compute_dtype)], axis=-1)
+        h = conv(f"dec{stage}b", conv(f"dec{stage}a", h))
+    return h
+
+
+def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
+          compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Forward pass: (B, H, W, C) -> (B, H, W, n_out) in fp32.
+
+    blindspot=True requires H == W (rotation fold) and H, W % 32 == 0.
+    """
+    b, h, w, _ = x.shape
+    if h % STRIDE or w % STRIDE:
+        raise ValueError(f"H, W must be multiples of {STRIDE}, got {h}x{w}")
+    if blindspot:
+        f = rotation_stack(x)
+        f = _branch(params, f, shifted=True, compute_dtype=compute_dtype)
+        f = shift_down(f, 1)
+        f = rotation_unstack(f)       # (B, H, W, 4*dec)
+    else:
+        f = _branch(params, x, shifted=False, compute_dtype=compute_dtype)
+    # 1x1 combiner head in fp32 (SURVEY.md §2.4-2.5)
+    f = f.astype(jnp.float32)
+    f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"]))
+    f = leaky_relu(conv2d(f, params["nin_b"]["w"], params["nin_b"]["b"]))
+    p = params["nin_c"]
+    return conv2d(f, p["w"], p["b"])
+
+
+def tree_cast(params: Params, dtype) -> Params:
+    return jax.tree.map(lambda x: x.astype(dtype), params)

@@ -100,14 +100,17 @@ def shifted_maxpool_2x2(x: jax.Array) -> jax.Array:
     neg = jnp.asarray(-jnp.inf, x.dtype)
     x = jnp.pad(x, [(0, 0), (1, 0), (0, 0), (0, 0)], constant_values=neg)
     x = x[:, : x.shape[1] - 1, :, :]
-    return lax.reduce_window(
-        x,
-        neg,
-        lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    return maxpool_2x2(x)
+
+
+def maxpool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/2 max-pool. Windows are non-overlapping, so a reshape-max is the
+    cleanest lowering (differentiable, fuses; generic reduce_window lacks a
+    reverse-mode rule). Unshifted form is the baseline U-Net path (N2C/N2N).
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(jnp.max(x, axis=4), axis=2)
 
 
 def upsample_2x_nearest(x: jax.Array) -> jax.Array:
