@@ -1,0 +1,217 @@
+"""NLL losses and Bayesian posterior-mean estimators (SURVEY.md §2.5).
+
+The network predicts a per-pixel Gaussian prior over the clean signal:
+mean mu (C channels) and covariance Sigma_x (= a^2 for C=1; = A^T A with A
+upper-triangular from 6 channels for C=3), plus one extra channel when the
+noise parameter is blind-estimated. Per noise model [P]:
+
+  * Gaussian, sigma known:  y ~ N(mu, Sigma_x + sigma^2 I)
+        loss = 1/2 [ (y-mu)^T Sigma_y^{-1} (y-mu) + logdet Sigma_y ]
+        denoised = mu + Sigma_x Sigma_y^{-1} (y - mu)
+  * Gaussian, blind sigma: sigma_hat = spatial mean of softplus(extra ch)
+        per image; same NLL with sigma_hat, plus regularizer
+        -blind_reg * sigma_hat discouraging the degenerate Sigma_x-explains-
+        everything solution ([P] §3.1; coefficient configurable — flagged
+        "re-verify" in SURVEY.md §2.5).
+  * Poisson lam: y = Poisson(lam (x+1/2))/lam - 1/2 approximated as
+        heteroscedastic Gaussian with per-channel variance
+        max(mu + 1/2, eps)/lam substituted for sigma^2 (diagonal).
+  * Impulse alpha: pixel replaced by a uniform color with prob alpha;
+        marginal p(y) = alpha * u(y) + (1-alpha) N(y; mu, Sigma_x + eps I)
+        with u = 1 on the unit cube; loss = -log p(y);
+        denoised = w y + (1-w) mu, w = (1-alpha) N / p(y) — the pixel's
+        posterior probability of being uncorrupted.
+
+All math is fp32 ("fp32 island", SURVEY.md §2.5) and elementwise — XLA fuses
+it into the surrounding step; no kernels needed (SURVEY.md §2.2 table).
+
+Images use the internal range [-1/2, 1/2] (uint8/255 - 1/2); sigma values
+are in the same units (sigma_255 / 255).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssdn_tpu.config import NoiseConfig, NoiseModel, NoiseValue
+from ssdn_tpu.estimator import spd3
+
+_LOG2PI = math.log(2.0 * math.pi)
+_VAR_EPS = 1e-8      # variance floor for the C=1 path
+_IMPULSE_EPS = 1e-4  # Sigma_x diagonal epsilon for the impulse density
+
+
+def split_outputs(out: jax.Array, channels: int, blind: bool):
+    """(B,H,W,n_out) -> (mu, a_tri, noise_ch|None). n_out layout per
+    SURVEY.md §2.4: C mu channels, C(C+1)/2 covariance channels, then one
+    optional noise-estimate channel."""
+    t = channels * (channels + 1) // 2
+    mu = out[..., :channels]
+    a = out[..., channels : channels + t]
+    noise_ch = out[..., channels + t] if blind else None
+    return mu, a, noise_ch
+
+
+def estimate_sigma(noise_ch: jax.Array) -> jax.Array:
+    """Per-image scalar sigma from the per-pixel map: spatial softplus-mean
+    ([P] §3.1: per-pixel estimate averaged over the image)."""
+    return jnp.mean(jax.nn.softplus(noise_ch), axis=(1, 2))
+
+
+def _noise_variance(
+    cfg: NoiseConfig,
+    noise_params: Dict[str, jax.Array],
+    mu: jax.Array,
+    noise_ch,
+) -> jax.Array:
+    """Per-pixel-per-channel noise variance (B,H,W,C), plus the sigma
+    estimate used (for logging), for the Gaussian-family models."""
+    if cfg.model == NoiseModel.GAUSSIAN:
+        if cfg.value == NoiseValue.BLIND:
+            sigma = estimate_sigma(noise_ch)  # (B,)
+        else:
+            sigma = noise_params["sigma"]  # (B,) internal units
+        var = (sigma ** 2)[:, None, None, None]
+        return jnp.broadcast_to(var, mu.shape).astype(jnp.float32), sigma
+    if cfg.model == NoiseModel.POISSON:
+        lam = noise_params["lam"]
+        var = jnp.maximum(mu + 0.5, 1e-3) / lam
+        return var.astype(jnp.float32), None
+    raise ValueError(f"no Gaussian-family variance for {cfg.model}")
+
+
+def _gauss_nll_post_1(mu, a, y, var):
+    """C=1 closed forms; all (B,H,W,1)."""
+    sigma_x = a[..., :1] ** 2
+    var_y = sigma_x + var + _VAR_EPS
+    d = y - mu
+    nll = 0.5 * (d * d / var_y + jnp.log(var_y) + _LOG2PI)
+    post = mu + sigma_x / var_y * d
+    return nll[..., 0], post
+
+
+def _gauss_nll_post_3(mu, a, y, var):
+    """C=3 via the closed-form SPD3 path."""
+    sx = spd3.sym3_from_tri(a)
+    sy = spd3.sym3_add_diag(sx, tuple(var[..., i] for i in range(3)))
+    d = tuple(y[..., i] - mu[..., i] for i in range(3))
+    w, quad, logdet = spd3.sym3_solve_quad_logdet(sy, d)
+    nll = 0.5 * (quad + logdet + 3.0 * _LOG2PI)
+    post = spd3.sym3_matvec(sx, w)
+    post = jnp.stack([mu[..., i] + post[i] for i in range(3)], axis=-1)
+    return nll, post
+
+
+def _gauss_nll_post(mu, a, y, var):
+    c = mu.shape[-1]
+    if c == 1:
+        return _gauss_nll_post_1(mu, a, y, var)
+    if c == 3:
+        return _gauss_nll_post_3(mu, a, y, var)
+    raise ValueError(f"unsupported channel count {c}")
+
+
+def _prior_logdensity(mu, a, y):
+    """log N(y; mu, Sigma_x + eps I) — the clean-signal prior evaluated at y
+    (impulse model's uncorrupted branch)."""
+    c = mu.shape[-1]
+    if c == 1:
+        var = a[..., :1] ** 2 + _IMPULSE_EPS
+        d = y - mu
+        return (-0.5 * (d * d / var + jnp.log(var) + _LOG2PI))[..., 0]
+    sx = spd3.sym3_from_tri(a)
+    sx = spd3.sym3_add_diag(sx, (_IMPULSE_EPS,) * 3)
+    d = tuple(y[..., i] - mu[..., i] for i in range(3))
+    _, quad, logdet = spd3.sym3_solve_quad_logdet(sx, d)
+    return -0.5 * (quad + logdet + 3.0 * _LOG2PI)
+
+
+def _impulse_alpha(cfg, noise_params, noise_ch):
+    if cfg.value == NoiseValue.BLIND:
+        return jnp.mean(jax.nn.sigmoid(noise_ch), axis=(1, 2))[
+            :, None, None
+        ]  # (B,1,1)
+    alpha = jnp.asarray(noise_params["alpha"], jnp.float32)
+    return alpha.reshape((-1,) + (1,) * 2) if alpha.ndim else alpha
+
+
+def nll(
+    out: jax.Array,
+    y: jax.Array,
+    cfg: NoiseConfig,
+    noise_params: Dict[str, jax.Array],
+    *,
+    blind_reg: float = 0.1,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Mean negative log-likelihood training loss. Returns (scalar, aux)."""
+    out = out.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    c = y.shape[-1]
+    blind = cfg.value == NoiseValue.BLIND
+    mu, a, noise_ch = split_outputs(out, c, blind)
+    aux = {}
+    if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
+        var, sigma = _noise_variance(cfg, noise_params, mu, noise_ch)
+        pix_nll, _ = _gauss_nll_post(mu, a, y, var)
+        loss = jnp.mean(pix_nll)
+        if cfg.model == NoiseModel.GAUSSIAN and blind:
+            aux["sigma_hat"] = sigma
+            loss = loss - blind_reg * jnp.mean(sigma)
+        elif sigma is not None:
+            aux["sigma"] = sigma
+    elif cfg.model == NoiseModel.IMPULSE:
+        alpha = _impulse_alpha(cfg, noise_params, noise_ch)
+        log_n = _prior_logdensity(mu, a, y)  # (B,H,W)
+        # p(y) = alpha * 1 + (1-alpha) * N ; computed in log space
+        log_p = jnp.logaddexp(
+            jnp.log(alpha + 1e-12) + jnp.zeros_like(log_n),
+            jnp.log1p(-alpha + 1e-12) + log_n,
+        )
+        loss = jnp.mean(-log_p)
+        if blind:
+            aux["alpha_hat"] = alpha[..., 0, 0]
+    else:
+        raise ValueError(cfg.model)
+    aux["mu_mse"] = jnp.mean((mu - y) ** 2)
+    return loss, aux
+
+
+def posterior_mean(
+    out: jax.Array,
+    y: jax.Array,
+    cfg: NoiseConfig,
+    noise_params: Dict[str, jax.Array],
+) -> jax.Array:
+    """Bayes-denoised image E[x | y] (B,H,W,C), fp32."""
+    out = out.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    c = y.shape[-1]
+    blind = cfg.value == NoiseValue.BLIND
+    mu, a, noise_ch = split_outputs(out, c, blind)
+    if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
+        var, _ = _noise_variance(cfg, noise_params, mu, noise_ch)
+        _, post = _gauss_nll_post(mu, a, y, var)
+        return post
+    if cfg.model == NoiseModel.IMPULSE:
+        alpha = _impulse_alpha(cfg, noise_params, noise_ch)
+        log_n = _prior_logdensity(mu, a, y)
+        log_unc = jnp.log1p(-alpha + 1e-12) + log_n
+        log_p = jnp.logaddexp(jnp.log(alpha + 1e-12) + jnp.zeros_like(log_n),
+                              log_unc)
+        w = jnp.exp(log_unc - log_p)[..., None]  # P(uncorrupted | y)
+        return w * y + (1.0 - w) * mu
+    raise ValueError(cfg.model)
+
+
+def mu_only(out: jax.Array, channels: int) -> jax.Array:
+    """The network's mu — used by the SSDN_MSE ablation and the N2C/N2N
+    baselines (SURVEY.md §2.5 'baseline pipelines')."""
+    return out[..., :channels].astype(jnp.float32)
+
+
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)

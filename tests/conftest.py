@@ -8,7 +8,10 @@ code in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the session env presets JAX_PLATFORMS=axon (the
+# remote TPU tunnel), which would route every test compile through remote
+# compilation at ~30 s each.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
