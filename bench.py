@@ -1,0 +1,75 @@
+"""Headline benchmark: SSDN training throughput in patches/sec/chip
+(BASELINE.json "metric") on the flagship config — blind-spot U-Net, RGB
+Gaussian sigma=25, 64x64 patches, bf16 conv path, fused on-device
+preprocessing — on whatever device JAX reports (the real TPU chip under the
+driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline note: the reference repo's own throughput is unpublished and the
+mount was empty (SURVEY.md §0, §6); BASELINE.json "published" is {}. The
+baseline used here is the paper-era reference setup's commonly-achievable
+~1000 patches/sec on a 2019 GPU — an order-of-magnitude anchor only, fixed
+so the ratio is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PATCHES_PER_SEC = 1000.0  # order-of-magnitude anchor, see docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ssdn_tpu import parallel
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+    from ssdn_tpu.train.step import init_state, make_train_step
+
+    batch = 128
+    cfg = TrainConfig(
+        noise=parse_noise_style("gauss25"),
+        model=ModelConfig(in_channels=3, compute_dtype="bfloat16"),
+        patch_size=64,
+        batch_size=batch,
+        iterations=10_000,
+    )
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    state = init_state(cfg)
+    rng = np.random.default_rng(0)
+    batch_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 64, 64, 3), dtype=np.uint8)
+    )
+
+    # warmup (compile) + 3 steps
+    for _ in range(4):
+        state, metrics = step(state, batch_u8)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch_u8)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    pps = n_steps * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ssdn_train_throughput",
+                "value": round(pps, 2),
+                "unit": "patches/sec/chip (64x64 RGB, bf16, fused step)",
+                "vs_baseline": round(pps / REFERENCE_PATCHES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Evaluation CLI (reference repo-root ``evaluate.py`` [R]; SURVEY.md §3.2):
+load a trained checkpoint, denoise an eval set (Kodak/BSD68/Set14 folders or
+the synthetic corpus), print/save the PSNR table and optionally the images.
+
+Example:
+  python -m ssdn_tpu.cli.evaluate --workdir /tmp/run1 --dataset /data/kodak \
+      --save-images /tmp/run1/denoised
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ssdn_tpu.config import parse_noise_style
+from ssdn_tpu.data import open_dataset
+from ssdn_tpu.infer import evaluate_dataset
+from ssdn_tpu.train.loop import CheckpointManager, load_config
+from ssdn_tpu.train.step import init_state
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True,
+                   help="training workdir containing config.json and ckpt/")
+    p.add_argument("--dataset", required=True,
+                   help="image folder | .h5 | synthetic[:n[:size]]")
+    p.add_argument("--noise-style", default=None,
+                   help="override eval noise (default: training noise)")
+    p.add_argument("--seed", type=int, default=0x5EED,
+                   help="eval noise seed (deterministic per image)")
+    p.add_argument("--save-images", default=None)
+    p.add_argument("--json-out", default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.workdir)
+    state = init_state(cfg)
+    state = CheckpointManager(args.workdir, cfg).restore(state)
+    ds = open_dataset(args.dataset, grayscale=cfg.grayscale)
+    eval_noise = (
+        parse_noise_style(args.noise_style, blind=cfg.noise.value.value == "blind")
+        if args.noise_style
+        else None
+    )
+    res = evaluate_dataset(
+        cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed
+    )
+
+    print(f"checkpoint step: {int(state.step)}")
+    print(f"dataset: {args.dataset} ({res['n_images']} images)")
+    print(f"noise:   {(eval_noise or cfg.noise).describe()}")
+    for i, v in enumerate(res["psnr_per_image"]):
+        print(f"  image {i:3d}: {v:7.3f} dB")
+    print(f"noisy PSNR mean:    {res['noisy_psnr_mean']:7.3f} dB")
+    print(f"denoised PSNR mean: {res['psnr_mean']:7.3f} dB")
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(res, f, indent=2)
+    if args.save_images:
+        _save_images(cfg, state.params, ds, args, eval_noise)
+
+
+def _save_images(cfg, params, ds, args, eval_noise) -> None:
+    import jax.numpy as jnp
+
+    from ssdn_tpu.infer import denoise_image, make_denoise_fn
+    from ssdn_tpu.infer.full import _true_param
+    from ssdn_tpu.noise import add_noise
+    from ssdn_tpu.train.step import pipeline_blindspot
+    from ssdn_tpu.utils import save_image, to_internal
+
+    noise = eval_noise or cfg.noise
+    fn = make_denoise_fn(cfg)
+    square = pipeline_blindspot(cfg.pipeline)
+    os.makedirs(args.save_images, exist_ok=True)
+    for i in range(len(ds)):
+        clean = to_internal(ds[i])
+        key = jax.random.fold_in(jax.random.key(args.seed), i)
+        y, injected = add_noise(key, jnp.asarray(clean)[None], noise)
+        y_np = np.asarray(y)[0]
+        den = denoise_image(fn, params, y_np, _true_param(noise, injected),
+                            square=square)
+        save_image(os.path.join(args.save_images, f"{i:03d}_noisy.png"), y_np)
+        save_image(os.path.join(args.save_images, f"{i:03d}_denoised.png"), den)
+        save_image(os.path.join(args.save_images, f"{i:03d}_clean.png"), clean)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Training CLI (reference repo-root ``train.py`` [R]; SURVEY.md §3.1).
+
+Examples:
+  python -m ssdn_tpu.cli.train --workdir /tmp/run1 --noise-style gauss25 \
+      --grayscale --train-data /data/bsds300 --eval-data /data/kodak \
+      --iterations 100000
+  python -m ssdn_tpu.cli.train --workdir /tmp/demo --train-data synthetic:64 \
+      --iterations 200 --eval-data synthetic:4 --compute-dtype float32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ssdn_tpu import parallel
+from ssdn_tpu.config import (
+    ModelConfig,
+    Pipeline,
+    TrainConfig,
+    parse_noise_style,
+)
+from ssdn_tpu.train.loop import Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument(
+        "--algorithm",
+        default="ssdn",
+        choices=[pl.value for pl in Pipeline],
+        help="ssdn | ssdn_mse (mu-only ablation) | n2c | n2n",
+    )
+    p.add_argument(
+        "--noise-style",
+        default="gauss25",
+        help="gauss25 | gauss5_50 | poisson30 | impulse50 (SURVEY.md §2.1)",
+    )
+    p.add_argument(
+        "--blind",
+        action="store_true",
+        help="estimate the noise parameter with the network instead of "
+        "feeding the true value (SURVEY.md §2.5 blind-sigma)",
+    )
+    p.add_argument("--train-data", default="synthetic:64:128",
+                   help="image folder | .h5 file | synthetic[:n[:size]]")
+    p.add_argument("--eval-data", default=None)
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--patch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--iterations", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-interval", type=int, default=10_000)
+    p.add_argument("--snapshot-interval", type=int, default=10_000)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard the batch over all visible devices (1-D data mesh)",
+    )
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        pipeline=Pipeline(args.algorithm),
+        noise=parse_noise_style(args.noise_style, blind=args.blind),
+        model=ModelConfig(
+            in_channels=1 if args.grayscale else 3,
+            compute_dtype=args.compute_dtype,
+            conv_backend=args.conv_backend,
+        ),
+        patch_size=args.patch_size,
+        batch_size=args.batch_size,
+        iterations=args.iterations,
+        lr=args.lr,
+        seed=args.seed,
+        eval_interval=args.eval_interval,
+        snapshot_interval=args.snapshot_interval,
+        grayscale=args.grayscale,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    mesh = parallel.make_mesh() if args.data_parallel else None
+    trainer = Trainer(
+        cfg,
+        args.workdir,
+        train_data=args.train_data,
+        eval_data=args.eval_data,
+        mesh=mesh,
+        log_interval=args.log_interval,
+    )
+    print(f"training: {cfg.pipeline.value} | {cfg.noise.describe()} | "
+          f"{cfg.patch_size}px x{cfg.batch_size} | {cfg.iterations} iters",
+          flush=True)
+    trainer.train(resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Step-indexed random patch sampling.
+
+The reference samples patches with stateful CPU DataLoader workers and a
+``FixedLengthSampler`` [R] (SURVEY.md §2.1). TPU-first redesign: a batch is a
+*pure function of (seed, step)* — `batch(step)` derives a fresh counter-based
+RNG from (seed, step), so (a) fixed-length "train for N iterations" semantics
+are native, (b) preemption-resume is exact by checkpointing only the step
+counter (SURVEY.md §5.3-5.4), and (c) any batch can be recomputed for
+debugging. Only cropping and uint8 gathering happen on host; normalization,
+noise injection, and rotation stacking run on-device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class PatchSampler:
+    def __init__(self, dataset, patch_size: int, batch_size: int,
+                 seed: int = 0):
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.patch = patch_size
+        self.batch = batch_size
+        self.seed = seed
+        self.channels = dataset[0].shape[-1]
+
+    def sample(self, step: int) -> np.ndarray:
+        """(batch, patch, patch, C) uint8 — deterministic in (seed, step)."""
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, step]))
+        ps = self.patch
+        out = np.empty((self.batch, ps, ps, self.channels), np.uint8)
+        idxs = rng.integers(0, len(self.dataset), self.batch)
+        for j, i in enumerate(idxs):
+            img = self.dataset[int(i)]
+            h, w = img.shape[:2]
+            if h < ps or w < ps:  # small image: reflect-pad up to patch size
+                img = np.pad(
+                    img,
+                    [(0, max(0, ps - h)), (0, max(0, ps - w)), (0, 0)],
+                    mode="reflect",
+                )
+                h, w = img.shape[:2]
+            r = int(rng.integers(0, h - ps + 1))
+            c = int(rng.integers(0, w - ps + 1))
+            out[j] = img[r : r + ps, c : c + ps]
+        return out
+
+
+class Prefetcher:
+    """Background-thread prefetch of sampler batches (the host-side stage;
+    replaces the reference's DataLoader worker processes, SURVEY.md §3.5)."""
+
+    def __init__(self, sampler: PatchSampler, start_step: int, n_steps: int,
+                 depth: int = 3):
+        self.sampler = sampler
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            for s in range(start_step, start_step + n_steps):
+                if self._stop.is_set():
+                    return
+                self.q.put(self.sampler.sample(s))
+            self.q.put(None)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,129 @@
+"""Full-image inference and PSNR evaluation (SURVEY.md §3.2).
+
+Eval flow per reference ``evaluate.py`` [R]: load clean eval image, inject
+noise at the eval setting (deterministic per-image key), pad to meet the
+U-Net's stride-32 divisibility (and squareness, for the rotation fold),
+forward once — the four rotated branches ARE the "4-rotation ensembling"
+[B config 5] — take the Bayesian posterior mean, crop, PSNR vs clean.
+
+Jitted denoise programs are cached per (shape, dtype); eval sets with one
+image geometry (Kodak 768x512, BSD68 481x321) compile once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdn_tpu import estimator
+from ssdn_tpu.config import (
+    NoiseConfig,
+    NoiseValue,
+    Pipeline,
+    TrainConfig,
+)
+from ssdn_tpu.models import blindspot_unet
+from ssdn_tpu.noise import add_noise
+from ssdn_tpu.train.step import pipeline_blindspot
+from ssdn_tpu.utils.images import pad_to_multiple, psnr, to_internal
+
+
+def make_denoise_fn(cfg: TrainConfig):
+    """Jitted (params, noisy_batch, noise_param_vec) -> denoised, specialized
+    per input shape via jit's shape cache."""
+    blindspot = pipeline_blindspot(cfg.pipeline)
+    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+
+    @jax.jit
+    def denoise(params, y, sigma_or_param):
+        out = blindspot_unet.apply(
+            params, y, blindspot=blindspot, compute_dtype=compute_dtype
+        )
+        if cfg.pipeline == Pipeline.SSDN:
+            noise_params = _noise_param_dict(cfg.noise, sigma_or_param)
+            return estimator.posterior_mean(out, y, cfg.noise, noise_params)
+        c = y.shape[-1]
+        return estimator.mu_only(out, c)
+
+    return denoise
+
+
+def _noise_param_dict(noise: NoiseConfig, vec):
+    from ssdn_tpu.config import NoiseModel
+
+    if noise.model == NoiseModel.GAUSSIAN:
+        return {"sigma": vec}
+    if noise.model == NoiseModel.POISSON:
+        return {"lam": vec}
+    return {"alpha": vec}
+
+
+def _true_param(noise: NoiseConfig, injected: Dict) -> jax.Array:
+    from ssdn_tpu.config import NoiseModel
+
+    if noise.model == NoiseModel.GAUSSIAN:
+        return injected["sigma"]
+    if noise.model == NoiseModel.POISSON:
+        return injected["lam"]
+    return injected["alpha"]
+
+
+def denoise_image(
+    denoise_fn,
+    params,
+    noisy: np.ndarray,
+    noise_param,
+    *,
+    square: bool,
+) -> np.ndarray:
+    """Denoise one full-resolution image (H, W, C float32 internal range).
+
+    Pads (reflect) to stride-32 (+square for the rotation fold), runs the
+    jitted program, crops back.
+    """
+    padded, (h, w) = pad_to_multiple(noisy, blindspot_unet.STRIDE, square=square)
+    y = jnp.asarray(padded)[None]
+    out = denoise_fn(params, y, noise_param)
+    return np.asarray(out)[0, :h, :w]
+
+
+def evaluate_dataset(
+    cfg: TrainConfig,
+    params,
+    dataset,
+    *,
+    eval_noise: Optional[NoiseConfig] = None,
+    seed: int = 0x5EED,
+) -> Dict:
+    """Reference evaluate.py flow over a dataset: returns mean/per-image
+    PSNR of the denoised estimates plus the noisy-input baseline PSNR."""
+    noise = eval_noise or cfg.noise
+    denoise_fn = make_denoise_fn(cfg)
+    square = pipeline_blindspot(cfg.pipeline)
+    psnrs: List[float] = []
+    noisy_psnrs: List[float] = []
+    for i in range(len(dataset)):
+        clean_u8 = dataset[i]
+        clean = to_internal(clean_u8)
+        key = jax.random.fold_in(jax.random.key(seed), i)
+        y, injected = add_noise(key, jnp.asarray(clean)[None], noise)
+        y_np = np.asarray(y)[0]
+        if cfg.pipeline == Pipeline.SSDN and noise.value == NoiseValue.KNOWN:
+            param = _true_param(noise, injected)
+        else:
+            # blind: the estimator reads the parameter from the network's
+            # own estimate; pass a placeholder of the right shape
+            param = _true_param(noise, injected)
+        den = denoise_image(denoise_fn, params, y_np, param, square=square)
+        psnrs.append(psnr(den, clean))
+        noisy_psnrs.append(psnr(y_np, clean))
+    return {
+        "psnr_mean": float(np.mean(psnrs)),
+        "psnr_per_image": psnrs,
+        "noisy_psnr_mean": float(np.mean(noisy_psnrs)),
+        "n_images": len(dataset),
+    }

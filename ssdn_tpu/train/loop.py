@@ -1,0 +1,197 @@
+"""Trainer: iteration loop, checkpoint/resume, eval hooks, metrics
+(reference ``DenoiserTrainer`` [R]; SURVEY.md §2.1 trainer row, §5.3-5.5).
+
+Checkpointing is Orbax (async-capable, keep-last-K). The loader needs no
+saved state beyond the step counter — batches are a pure function of
+(seed, step) (data/sampler.py) — so preemption-resume is exact
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdn_tpu import parallel
+from ssdn_tpu.config import TrainConfig, to_json, train_config_from_json
+from ssdn_tpu.data import PatchSampler, Prefetcher, open_dataset
+from ssdn_tpu.infer import evaluate_dataset
+from ssdn_tpu.train.step import TrainState, init_state, make_train_step
+
+
+def save_config(workdir: str, cfg: TrainConfig) -> None:
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        f.write(to_json(cfg))
+
+
+def load_config(workdir: str) -> TrainConfig:
+    with open(os.path.join(workdir, "config.json")) as f:
+        return train_config_from_json(f.read())
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager for the TrainState pytree."""
+
+    def __init__(self, workdir: str, cfg: TrainConfig):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.cfg = cfg
+        self.dir = os.path.abspath(os.path.join(workdir, "ckpt"))
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.keep_checkpoints, create=True
+            ),
+        )
+
+    def save(self, state: TrainState, wait: bool = False) -> None:
+        self.mgr.save(
+            int(state.step), args=self._ocp.args.StandardSave(state)
+        )
+        if wait:
+            self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, target: TrainState) -> TrainState:
+        step = self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.dir}")
+        return self.mgr.restore(
+            step, args=self._ocp.args.StandardRestore(target)
+        )
+
+    def close(self):
+        self.mgr.wait_until_finished()
+        self.mgr.close()
+
+
+class MetricsLogger:
+    """CSV + stdout scalars; TensorBoard when tensorboardX is importable
+    (SURVEY.md §5.5)."""
+
+    def __init__(self, workdir: str):
+        os.makedirs(workdir, exist_ok=True)
+        self.jsonl_path = os.path.join(workdir, "metrics.jsonl")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(workdir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
+        scalars = {k: float(v) for k, v in scalars.items()}
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps({"step": step, "prefix": prefix, **scalars}) + "\n")
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        workdir: str,
+        train_data: str = "synthetic:64:128",
+        eval_data: Optional[str] = None,
+        mesh: Optional[object] = None,
+        log_interval: int = 100,
+    ):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.mesh = mesh
+        self.log_interval = log_interval
+        save_config(workdir, cfg)
+        self.dataset = open_dataset(train_data, grayscale=cfg.grayscale)
+        self.eval_dataset = (
+            open_dataset(eval_data, grayscale=cfg.grayscale)
+            if eval_data
+            else None
+        )
+        self.sampler = PatchSampler(
+            self.dataset, cfg.patch_size, cfg.batch_size, seed=cfg.seed
+        )
+        self.step_fn = parallel.jit_data_parallel(
+            make_train_step(cfg), mesh
+        )
+        self.ckpt = CheckpointManager(workdir, cfg)
+        self.logger = MetricsLogger(workdir)
+
+    def _eval(self, state: TrainState, step: int) -> Optional[float]:
+        if self.eval_dataset is None:
+            return None
+        res = evaluate_dataset(self.cfg, state.params, self.eval_dataset)
+        self.logger.log(
+            step,
+            {"psnr": res["psnr_mean"], "noisy_psnr": res["noisy_psnr_mean"]},
+            prefix="eval",
+        )
+        print(
+            f"[eval @ {step}] psnr {res['psnr_mean']:.3f} dB "
+            f"(noisy {res['noisy_psnr_mean']:.3f})",
+            flush=True,
+        )
+        return res["psnr_mean"]
+
+    def train(self, resume: bool = True) -> TrainState:
+        cfg = self.cfg
+        state = init_state(cfg)
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            print(f"resumed from step {int(state.step)}", flush=True)
+        if self.mesh is not None:
+            state = jax.device_put(state, parallel.replicated(self.mesh))
+        start = int(state.step)
+        todo = cfg.iterations - start
+        if todo <= 0:
+            return state
+        prefetch = Prefetcher(self.sampler, start, todo)
+        t0, tn0 = time.time(), start
+        try:
+            for batch in prefetch:
+                step = int(state.step)
+                dev_batch = parallel.put_batch(batch, self.mesh)
+                state, metrics = self.step_fn(state, dev_batch)
+                next_step = step + 1
+                if next_step % self.log_interval == 0 or next_step == cfg.iterations:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t0
+                    m["patches_per_sec"] = (
+                        (next_step - tn0) * cfg.batch_size / max(dt, 1e-9)
+                    )
+                    t0, tn0 = time.time(), next_step
+                    self.logger.log(next_step, m)
+                    print(
+                        f"[{next_step}/{cfg.iterations}] loss {m['loss']:.4f} "
+                        f"({m['patches_per_sec']:.1f} patches/s)",
+                        flush=True,
+                    )
+                if next_step % cfg.eval_interval == 0:
+                    self._eval(state, next_step)
+                if (
+                    next_step % cfg.snapshot_interval == 0
+                    or next_step == cfg.iterations
+                ):
+                    self.ckpt.save(state)
+        finally:
+            prefetch.close()
+            self.ckpt.mgr.wait_until_finished()
+            self.logger.close()
+        return state
