@@ -35,6 +35,17 @@ def main(argv=None) -> None:
                    help="eval noise seed (deterministic per image)")
     p.add_argument("--save-images", default=None)
     p.add_argument("--json-out", default=None)
+    p.add_argument(
+        "--tiled",
+        default="full",
+        choices=["full", "sharded", "sequential"],
+        help="full-resolution tiled inference: 'sharded' = halo exchange "
+        "over all devices ([B] config 5); 'sequential' = overlap tiles on "
+        "one device (bounded memory)",
+    )
+    p.add_argument("--halo", type=int, default=320,
+                   help="tile overlap in px; >= 320 is exact (see infer/tiled.py)")
+    p.add_argument("--tile-w", type=int, default=512)
     args = p.parse_args(argv)
 
     cfg = load_config(args.workdir)
@@ -46,8 +57,14 @@ def main(argv=None) -> None:
         if args.noise_style
         else None
     )
+    mesh = None
+    if args.tiled == "sharded":
+        from ssdn_tpu import parallel
+
+        mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)
     res = evaluate_dataset(
-        cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed
+        cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
+        mode=args.tiled, mesh=mesh, halo=args.halo, tile_w=args.tile_w,
     )
 
     print(f"checkpoint step: {int(state.step)}")
@@ -76,7 +93,7 @@ def _save_images(cfg, params, ds, args, eval_noise) -> None:
 
     noise = eval_noise or cfg.noise
     fn = make_denoise_fn(cfg)
-    square = pipeline_blindspot(cfg.pipeline)
+    square = False  # model handles non-square natively (two-group rotation fold)
     os.makedirs(args.save_images, exist_ok=True)
     for i in range(len(ds)):
         clean = to_internal(ds[i])

@@ -3,5 +3,17 @@ from ssdn_tpu.infer.full import (
     evaluate_dataset,
     make_denoise_fn,
 )
+from ssdn_tpu.infer.tiled import (
+    HALO_EXACT,
+    tiled_denoise_sequential,
+    tiled_denoise_sharded,
+)
 
-__all__ = ["denoise_image", "evaluate_dataset", "make_denoise_fn"]
+__all__ = [
+    "denoise_image",
+    "evaluate_dataset",
+    "make_denoise_fn",
+    "HALO_EXACT",
+    "tiled_denoise_sequential",
+    "tiled_denoise_sharded",
+]

@@ -41,7 +41,8 @@ def make_denoise_fn(cfg: TrainConfig):
     @jax.jit
     def denoise(params, y, sigma_or_param):
         out = blindspot_unet.apply(
-            params, y, blindspot=blindspot, compute_dtype=compute_dtype
+            params, y, blindspot=blindspot, compute_dtype=compute_dtype,
+            conv_backend=cfg.model.conv_backend,
         )
         if cfg.pipeline == Pipeline.SSDN:
             noise_params = _noise_param_dict(cfg.noise, sigma_or_param)
@@ -78,12 +79,13 @@ def denoise_image(
     noisy: np.ndarray,
     noise_param,
     *,
-    square: bool,
+    square: bool = False,
 ) -> np.ndarray:
     """Denoise one full-resolution image (H, W, C float32 internal range).
 
-    Pads (reflect) to stride-32 (+square for the rotation fold), runs the
-    jitted program, crops back.
+    Pads (reflect) to stride-32 divisibility, runs the jitted program, crops
+    back. square=True additionally pads to a square (only needed to force
+    the single-4x-batch rotation fold; the model handles non-square natively).
     """
     padded, (h, w) = pad_to_multiple(noisy, blindspot_unet.STRIDE, square=square)
     y = jnp.asarray(padded)[None]
@@ -98,12 +100,19 @@ def evaluate_dataset(
     *,
     eval_noise: Optional[NoiseConfig] = None,
     seed: int = 0x5EED,
+    mode: str = "full",
+    mesh=None,
+    halo: int = 320,
+    tile_w: int = 512,
 ) -> Dict:
     """Reference evaluate.py flow over a dataset: returns mean/per-image
-    PSNR of the denoised estimates plus the noisy-input baseline PSNR."""
+    PSNR of the denoised estimates plus the noisy-input baseline PSNR.
+
+    mode: "full" (whole image at once), "sharded" (tiled over a device
+    mesh with halo exchange, [B] config 5) or "sequential" (overlap tiles
+    looped on one device)."""
     noise = eval_noise or cfg.noise
-    denoise_fn = make_denoise_fn(cfg)
-    square = pipeline_blindspot(cfg.pipeline)
+    denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
     psnrs: List[float] = []
     noisy_psnrs: List[float] = []
     for i in range(len(dataset)):
@@ -112,13 +121,23 @@ def evaluate_dataset(
         key = jax.random.fold_in(jax.random.key(seed), i)
         y, injected = add_noise(key, jnp.asarray(clean)[None], noise)
         y_np = np.asarray(y)[0]
-        if cfg.pipeline == Pipeline.SSDN and noise.value == NoiseValue.KNOWN:
-            param = _true_param(noise, injected)
+        # KNOWN: the true injected parameter feeds the estimator; BLIND: the
+        # estimator reads the network's own estimate and ignores this value
+        param = _true_param(noise, injected)
+        if mode == "full":
+            den = denoise_image(denoise_fn, params, y_np, param)
+        elif mode == "sharded":
+            from ssdn_tpu.infer.tiled import tiled_denoise_sharded
+
+            den = tiled_denoise_sharded(cfg, params, y_np, param, mesh,
+                                        halo=halo)
+        elif mode == "sequential":
+            from ssdn_tpu.infer.tiled import tiled_denoise_sequential
+
+            den = tiled_denoise_sequential(cfg, params, y_np, param,
+                                           tile_w=tile_w, halo=halo)
         else:
-            # blind: the estimator reads the parameter from the network's
-            # own estimate; pass a placeholder of the right shape
-            param = _true_param(noise, injected)
-        den = denoise_image(denoise_fn, params, y_np, param, square=square)
+            raise ValueError(mode)
         psnrs.append(psnr(den, clean))
         noisy_psnrs.append(psnr(y_np, clean))
     return {

@@ -1,0 +1,206 @@
+"""Full-resolution tiled inference with halo exchange ([B] config 5;
+SURVEY.md §5.7 — the spatial analog of sequence parallelism).
+
+The image's W axis is sharded into vertical strips over a 1-D ``tile`` mesh;
+each strip is augmented with `halo` columns of real neighbor context, the
+blind-spot network + posterior mean run on the augmented strip, and the halo
+is cropped.
+
+Halo sizing (measured; see tests/test_tiled.py): the rotated branches run
+the causal-upward ("rows <= r") conv stack along the image's W axis, so the
+horizontal reach is ONE-SIDED and roughly twice the symmetric receptive
+radius — every shifted 3x3 conv reaches 2 * 2^level columns in one
+direction, pools add more. HALO_EXACT = 320 columns makes tiled == untiled
+to fp32 noise; smaller halos give the approximate overlap-tile mode
+(SURVEY.md §5.7 option (b)).
+
+Two sharded strategies, chosen automatically:
+
+  * exchange (halo <= strip width): single-hop `lax.ppermute` moves edge
+    strips between ring neighbors over ICI. Image-boundary strips are then
+    recomputed on true asymmetric windows — zero-filled halos are NOT
+    equivalent to the untiled conv's recursive per-level zero padding
+    (bias + nonlinearity give padding regions nonzero features).
+  * gather (halo > strip width): `lax.all_gather` over the tile axis, then
+    each device computes a fixed-size window CLAMPED inside the image
+    (boundary windows slide inward instead of zero-filling), which keeps
+    per-level conv padding at the true image edge — exact with no fix-up.
+
+A sequential single-device mode shares the clamped-window math to bound
+peak memory on huge images. Strip widths, halos, and window starts are all
+multiples of 32 so every pool/upsample grid aligns with the untiled
+computation. "4-rotation ensembling" composes for free: the rotations ride
+the batch dimension inside each strip's forward pass (non-square fold).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ssdn_tpu import estimator
+from ssdn_tpu.config import Pipeline, TrainConfig
+from ssdn_tpu.infer.full import _noise_param_dict
+from ssdn_tpu.models import blindspot_unet
+from ssdn_tpu.train.step import pipeline_blindspot
+
+# One-sided horizontal reach of the rotated causal branches (columns),
+# rounded up to 32-alignment. Halos >= this make tiling exact.
+HALO_EXACT = 320
+
+
+def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
+    """The per-strip compute: forward + estimator, identical to untiled."""
+    out = blindspot_unet.apply(
+        params,
+        y,
+        blindspot=pipeline_blindspot(cfg.pipeline),
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+        conv_backend=cfg.model.conv_backend,
+    )
+    if cfg.pipeline == Pipeline.SSDN:
+        return estimator.posterior_mean(
+            out, y, cfg.noise, _noise_param_dict(cfg.noise, noise_vec)
+        )
+    return estimator.mu_only(out, y.shape[-1])
+
+
+def make_exchange_fn(cfg: TrainConfig, mesh: Mesh, halo: int,
+                     axis: str = "tile"):
+    """ppermute halo exchange; boundary strips need the fix-up pass."""
+    n = mesh.devices.size
+
+    def strip_fn(params, strip, noise_vec):
+        idx = jax.lax.axis_index(axis)
+        right_going = strip[:, :, -halo:]  # my right edge -> right neighbor
+        left_going = strip[:, :, :halo]    # my left edge  -> left neighbor
+        # cyclic ring permutes (ppermute requires a bijection); wrapped
+        # edges at the image boundary are zero-masked below and the
+        # boundary strips recomputed exactly by the caller
+        from_left = jax.lax.ppermute(
+            right_going, axis, [(i, (i + 1) % n) for i in range(n)]
+        )
+        from_right = jax.lax.ppermute(
+            left_going, axis, [(i, (i - 1) % n) for i in range(n)]
+        )
+        from_left = jnp.where(idx == 0, 0.0, from_left)
+        from_right = jnp.where(idx == n - 1, 0.0, from_right)
+        aug = jnp.concatenate([from_left, strip, from_right], axis=2)
+        out = _denoise_tile(cfg, params, aug, noise_vec)
+        return out[:, :, halo:-halo]
+
+    sharded = jax.shard_map(
+        strip_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_gather_fn(cfg: TrainConfig, mesh: Mesh, halo: int, width: int,
+                   axis: str = "tile"):
+    """all_gather + clamped in-image windows; exact, no fix-up."""
+    n = mesh.devices.size
+    strip = width // n
+    win = min(width, strip + 2 * halo)
+
+    def strip_fn(params, strip_data, noise_vec):
+        idx = jax.lax.axis_index(axis)
+        full = jax.lax.all_gather(strip_data, axis, axis=2, tiled=True)
+        start = jnp.clip(idx * strip - halo, 0, width - win)
+        window = jax.lax.dynamic_slice_in_dim(full, start, win, axis=2)
+        out = _denoise_tile(cfg, params, window, noise_vec)
+        return jax.lax.dynamic_slice_in_dim(
+            out, idx * strip - start, strip, axis=2
+        )
+
+    sharded = jax.shard_map(
+        strip_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def tiled_denoise_sharded(
+    cfg: TrainConfig,
+    params,
+    noisy: np.ndarray,
+    noise_param,
+    mesh: Mesh,
+    halo: int = HALO_EXACT,
+    axis: str = "tile",
+) -> np.ndarray:
+    """Denoise one (H, W, C) image sharded over the mesh's devices."""
+    from ssdn_tpu.utils.images import pad_to_multiple
+
+    if halo % 32:
+        raise ValueError("halo must be a multiple of 32")
+    n = mesh.devices.size
+    # H needs only stride-32 alignment; W additionally needs to split evenly
+    # over the n tiles
+    padded, (h, w) = pad_to_multiple(noisy, 32, multiple_w=32 * n)
+    width = padded.shape[1]
+    strip = width // n
+    nv = jnp.asarray(noise_param)
+    y = jax.device_put(
+        jnp.asarray(padded)[None],
+        NamedSharding(mesh, P(None, None, axis, None)),
+    )
+    if halo > strip or strip + 2 * halo >= width:
+        # windows overlap several strips: gather mode (exact, no fix-up)
+        fn = make_gather_fn(cfg, mesh, halo, width, axis)
+        out = np.asarray(fn(params, y, nv))[0]
+        return out[:h, :w]
+    fn = make_exchange_fn(cfg, mesh, halo, axis)
+    out = np.array(fn(params, y, nv))[0]
+    # Boundary fix-up: recompute the outermost strips on true asymmetric
+    # windows (image edge on the outer side, real neighbor context inward)
+    # so per-level conv padding lands at the true border as in untiled.
+    fix = jax.jit(functools.partial(_denoise_tile, cfg))
+    wfix = min(width, strip + 2 * halo)
+    left = fix(params, jnp.asarray(padded[:, :wfix])[None], nv)
+    out[:, :strip] = np.asarray(left)[0, :, :strip]
+    right = fix(params, jnp.asarray(padded[:, -wfix:])[None], nv)
+    out[:, -strip:] = np.asarray(right)[0, :, -strip:]
+    return out[:h, :w]
+
+
+def tiled_denoise_sequential(
+    cfg: TrainConfig,
+    params,
+    noisy: np.ndarray,
+    noise_param,
+    tile_w: int = 512,
+    halo: int = HALO_EXACT,
+) -> np.ndarray:
+    """Clamped-window overlap-tile inference looped on one device: peak
+    memory is one (H, tile_w + 2*halo) strip instead of the full image."""
+    from ssdn_tpu.utils.images import pad_to_multiple
+
+    if tile_w % 32 or halo % 32:
+        raise ValueError("tile_w and halo must be multiples of 32")
+    padded, (h, w) = pad_to_multiple(noisy, 32)
+    ph, pw = padded.shape[:2]
+    fn = jax.jit(functools.partial(_denoise_tile, cfg))
+    out = np.empty_like(padded)
+    noise_vec = jnp.asarray(noise_param)
+    win = min(pw, tile_w + 2 * halo)
+    for c0 in range(0, pw, tile_w):
+        cw = min(tile_w, pw - c0)
+        # fixed-size window clamped inside the image: per-level conv padding
+        # applies at the true edge and one program compiles for all tiles
+        lo = min(max(0, c0 - halo), pw - win)
+        res = fn(params, jnp.asarray(padded[:, lo : lo + win])[None],
+                 noise_vec)
+        out[:, c0 : c0 + cw] = np.asarray(res)[0, :, c0 - lo : c0 - lo + cw]
+    return out[:h, :w]

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ssdn_tpu.ops import (
     conv2d,
     leaky_relu,
+    rot90,
     rotation_stack,
     rotation_unstack,
     shift_down,
@@ -108,12 +109,20 @@ def param_count(params: Params) -> int:
 
 
 def _branch(params: Params, x: jax.Array, *, shifted: bool,
-            compute_dtype) -> jax.Array:
+            compute_dtype, conv_backend: str = "lax") -> jax.Array:
     """The shared U-Net trunk on a (possibly rotation-folded) batch."""
     pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
+    use_pallas = conv_backend == "pallas" and shifted
 
     def conv(name, h):
         p = params[name]
+        if use_pallas:
+            from ssdn_tpu.ops.pallas import fused_shifted_conv
+
+            return fused_shifted_conv(
+                h.astype(compute_dtype), p["w"], p["b"], 0.1,
+                compute_dtype, False,
+            )
         return leaky_relu(
             conv2d(h, p["w"], p["b"], shifted=shifted, out_dtype=compute_dtype)
         )
@@ -137,21 +146,50 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
 
 
 def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
-          compute_dtype=jnp.bfloat16) -> jax.Array:
+          compute_dtype=jnp.bfloat16, conv_backend: str = "lax") -> jax.Array:
     """Forward pass: (B, H, W, C) -> (B, H, W, n_out) in fp32.
 
-    blindspot=True requires H == W (rotation fold) and H, W % 32 == 0.
+    H, W % 32 == 0. Square inputs fold all four rotations into one 4x batch;
+    non-square inputs use two 2x-batched trunk calls (rot0/180 and
+    rot90/270) — identical math, no square padding needed.
     """
     b, h, w, _ = x.shape
     if h % STRIDE or w % STRIDE:
         raise ValueError(f"H, W must be multiples of {STRIDE}, got {h}x{w}")
     if blindspot:
-        f = rotation_stack(x)
-        f = _branch(params, f, shifted=True, compute_dtype=compute_dtype)
-        f = shift_down(f, 1)
-        f = rotation_unstack(f)       # (B, H, W, 4*dec)
+        if h == w:
+            # square: all four rotations ride one 4x batch
+            f = rotation_stack(x)
+            f = _branch(params, f, shifted=True, compute_dtype=compute_dtype,
+                        conv_backend=conv_backend)
+            f = shift_down(f, 1)
+            f = rotation_unstack(f)   # (B, H, W, 4*dec)
+        else:
+            # non-square (full-image eval, W-strips in tiled inference):
+            # rot0/rot180 share (H, W); rot90/rot270 share (W, H) — two
+            # batched trunk calls instead of one, same shared weights
+            ga = jnp.concatenate([x, rot90(x, 2)], axis=0)
+            gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
+            fa = shift_down(
+                _branch(params, ga, shifted=True, compute_dtype=compute_dtype,
+                        conv_backend=conv_backend), 1
+            )
+            fb = shift_down(
+                _branch(params, gb, shifted=True, compute_dtype=compute_dtype,
+                        conv_backend=conv_backend), 1
+            )
+            f = jnp.concatenate(
+                [
+                    fa[:b],
+                    rot90(fb[:b], -1),
+                    rot90(fa[b:], -2),
+                    rot90(fb[b:], -3),
+                ],
+                axis=-1,
+            )
     else:
-        f = _branch(params, x, shifted=False, compute_dtype=compute_dtype)
+        f = _branch(params, x, shifted=False, compute_dtype=compute_dtype,
+                    conv_backend=conv_backend)
     # 1x1 combiner head in fp32 (SURVEY.md §2.4-2.5)
     f = f.astype(jnp.float32)
     f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"]))

@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: fused shifted 3x3 conv + bias + LeakyReLU.
+
+This is the hot op of the framework — every conv of the rotation-folded
+blind-spot U-Net trunk ([B]: "four 90-degree-rotated input branches fused
+into one batched Pallas conv path"; SURVEY.md §2.2 table row 1). The four
+branches are already batch-folded by the model, so one kernel instance sees
+the whole (4B, H, W, C) tensor.
+
+Formulation: a 3x3 conv is nine shifted (H*W, Cin) x (Cin, Cout) matmuls
+accumulated in fp32 — tap-accumulation keeps everything MXU-shaped without
+materializing an im2col buffer. The pad-shift-crop ("causal up") geometry is
+baked into the XLA pre-pad (top 2 rows / symmetric width) so the kernel body
+is shift-agnostic. Bias add + LeakyReLU fuse into the epilogue.
+
+Grid: one program per batch element; the padded image block, the weights,
+and the fp32 accumulator all live in VMEM (fine for training patches; the
+dispatcher falls back to the lax path for large inference images).
+
+Backward: custom_vjp. dx is the mirrored transposed conv, dw a per-tap
+contraction — both expressed as XLA convs/dots, which the TPU compiler
+already emits optimally; the LeakyReLU mask is recovered from the output's
+sign (leaky_relu preserves sign), so no extra residuals are stored.
+
+Differential tests vs the lax path: tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, H, W, Cin, Cout, slope):
+    import jax.experimental.pallas as pl  # noqa: F401  (imported for clarity)
+
+    acc = jnp.zeros((H * W, Cout), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            window = x_ref[0, dh : dh + H, dw : dw + W, :]
+            lhs = window.reshape(H * W, Cin)
+            acc += jnp.dot(
+                lhs, w_ref[dh, dw], preferred_element_type=jnp.float32
+            )
+    acc += b_ref[:].astype(jnp.float32)
+    acc = jnp.where(acc >= 0, acc, slope * acc)
+    out_ref[0] = acc.reshape(H, W, Cout).astype(out_ref.dtype)
+
+
+def shifted_conv3x3_bias_act(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    negative_slope: float = 0.1,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused causal-up 3x3 conv + bias + LeakyReLU via Pallas.
+
+    x: (N, H, W, Cin); w: (3, 3, Cin, Cout) (HWIO); b: (Cout,).
+    Equivalent to ops.leaky_relu(ops.conv2d(x, w, b, shifted=True)).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic kernels only compile for TPU; anywhere else (CPU tests, the
+    # 8-device virtual mesh) fall back to the interpreter automatically.
+    # Check the device platform, not jax.default_backend(): the remote-TPU
+    # plugin registers under its own backend name ("axon") while its
+    # devices still report platform "tpu".
+    interpret = interpret or jax.devices()[0].platform != "tpu"
+    n, h, width, cin = x.shape
+    cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    # shift geometry: top pad 2 / bottom 0 (causal up), symmetric width
+    xpad = jnp.pad(x, [(0, 0), (2, 0), (1, 1), (0, 0)])
+
+    kern = functools.partial(
+        _kernel, H=h, W=width, Cin=cin, Cout=cout, slope=negative_slope
+    )
+    flops = 2 * n * h * width * 9 * cin * cout
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2, width + 2, cin),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, width, cout), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, width, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xpad.size * xpad.dtype.itemsize
+            + w.size * w.dtype.itemsize
+            + n * h * width * cout * np.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xpad, w.astype(x.dtype), b)
+
+
+def _fwd_lax(x, w, b, negative_slope, out_dtype):
+    """Reference composition on the lax path (also the fallback)."""
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        (1, 1),
+        ((2, 0), (1, 1)),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    out = out + b.astype(out.dtype)
+    out = jnp.where(out >= 0, out, negative_slope * out)
+    return out.astype(out_dtype or x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_shifted_conv(x, w, b, negative_slope=0.1, out_dtype=None,
+                       interpret=False):
+    """Differentiable fused shifted-conv3x3 + bias + LeakyReLU (Pallas fwd,
+    XLA-conv bwd)."""
+    return shifted_conv3x3_bias_act(
+        x, w, b, negative_slope=negative_slope, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def _fused_fwd(x, w, b, negative_slope, out_dtype, interpret):
+    out = shifted_conv3x3_bias_act(
+        x, w, b, negative_slope=negative_slope, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out, (x, w, out)
+
+
+def _fused_bwd(negative_slope, out_dtype, interpret, res, g):
+    x, w, out = res
+    g = g.astype(jnp.float32)
+    # LeakyReLU mask from the output's sign (leaky preserves sign)
+    dpre = jnp.where(out >= 0, g, negative_slope * g)
+    dpre = dpre.astype(x.dtype)
+    # dx: correlate grads with 180-degree-rotated, IO-transposed weights and
+    # the mirrored shift (forward out row r reads in rows r-2..r, so in row
+    # r feeds out rows r..r+2 -> pad bottom 2)
+    w_rot = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3).astype(x.dtype)
+    dx = lax.conv_general_dilated(
+        dpre, w_rot, (1, 1), ((0, 2), (1, 1)),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # dw[dh, dw']: contraction of the padded input window with dpre
+    xpad = jnp.pad(x, [(0, 0), (2, 0), (1, 1), (0, 0)])
+    n, h, width, _ = x.shape
+    taps = []
+    for dh in range(3):
+        row = []
+        for dwi in range(3):
+            win = lax.dynamic_slice(
+                xpad, (0, dh, dwi, 0), (n, h, width, x.shape[-1])
+            )
+            row.append(
+                lax.dot_general(
+                    win, dpre,
+                    ((((0, 1, 2), (0, 1, 2))), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps).astype(w.dtype)
+    db = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw, db
+
+
+fused_shifted_conv.defvjp(_fused_fwd, _fused_bwd)

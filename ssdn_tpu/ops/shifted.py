@@ -60,11 +60,17 @@ def conv2d(
     XLA convolution.
 
     Precision contract: fp32 inputs compute in true fp32 (XLA's default
-    silently downgrades fp32 convs to bf16-class math); bf16 inputs take the
-    fast MXU path with fp32 accumulation via preferred_element_type.
+    silently downgrades fp32 convs to bf16-class math). bf16 inputs take the
+    fast MXU path — the MXU accumulates in fp32 internally and rounds the
+    output to bf16; requesting an fp32 output via preferred_element_type
+    instead breaks autodiff (the transposed conv in the VJP then mixes
+    bf16 weights with fp32 cotangents).
     """
-    if precision is None and x.dtype == jnp.float32:
-        precision = lax.Precision.HIGHEST
+    preferred = None
+    if x.dtype == jnp.float32:
+        preferred = jnp.float32
+        if precision is None:
+            precision = lax.Precision.HIGHEST
     kh, kw = w.shape[0], w.shape[1]
     if shifted:
         hpad = (kh - 1, 0)
@@ -77,7 +83,7 @@ def conv2d(
         window_strides=(1, 1),
         padding=(hpad, wpad),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
         precision=precision,
     )
     if b is not None:

@@ -93,7 +93,8 @@ def make_train_step(cfg: TrainConfig):
 
     def forward(params, y):
         return blindspot_unet.apply(
-            params, y, blindspot=blindspot, compute_dtype=compute_dtype
+            params, y, blindspot=blindspot, compute_dtype=compute_dtype,
+            conv_backend=cfg.model.conv_backend,
         )
 
     def step_fn(state: TrainState, batch_u8) -> Tuple[TrainState, Dict]:

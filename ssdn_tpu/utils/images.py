@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Iterable, List, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -50,15 +50,18 @@ def psnr(denoised, clean, data_range: float = 1.0) -> float:
 
 
 def pad_to_multiple(
-    x: np.ndarray, multiple: int, square: bool = False
+    x: np.ndarray, multiple: int, square: bool = False,
+    multiple_w: Optional[int] = None,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """Reflect-pad (H, W, C) so H and W are multiples of `multiple`
-    (and equal, if square=True — the rotation fold needs square inputs).
+    """Reflect-pad (H, W, C) so H is a multiple of `multiple` and W of
+    `multiple_w` (default: `multiple`); square=True also makes them equal
+    (the single-batch rotation fold needs square inputs).
     Returns (padded, original (H, W)) for cropping back after inference
     (SURVEY.md §3.2 "pad image to satisfy U-Net stride-32 divisibility")."""
     h, w = x.shape[:2]
+    mw = multiple_w or multiple
     ht = ((h + multiple - 1) // multiple) * multiple
-    wt = ((w + multiple - 1) // multiple) * multiple
+    wt = ((w + mw - 1) // mw) * mw
     if square:
         ht = wt = max(ht, wt)
     pads = [(0, ht - h), (0, wt - w)] + [(0, 0)] * (x.ndim - 2)

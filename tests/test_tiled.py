@@ -1,0 +1,150 @@
+"""Tiled-inference tests (SURVEY.md §4 distributed row 2): tiled with
+sufficient halo == untiled, exactly (both sharded strategies and the
+sequential mode); non-square model path == square path.
+
+Halo note: the rotated causal branches reach ~2x the symmetric receptive
+radius in ONE horizontal direction, so the exact halo is HALO_EXACT (320),
+not the symmetric ~160 (measured in the halo sweep that motivated
+HALO_EXACT; see infer/tiled.py docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssdn_tpu import parallel
+from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+from ssdn_tpu.infer import denoise_image, make_denoise_fn
+from ssdn_tpu.infer.tiled import (
+    HALO_EXACT,
+    tiled_denoise_sequential,
+    tiled_denoise_sharded,
+)
+from ssdn_tpu.models import apply, init_params
+from ssdn_tpu.train.step import init_state
+
+TINY = dict(enc_features=8, dec_features=16, nin_a_features=32,
+            nin_b_features=16, compute_dtype="float32")
+
+
+def cfg_and_params():
+    cfg = TrainConfig(
+        noise=parse_noise_style("gauss25"),
+        model=ModelConfig(in_channels=3, **TINY),
+        iterations=10,
+    )
+    return cfg, init_state(cfg).params
+
+
+def test_nonsquare_fold_matches_square_fold():
+    params = init_params(jax.random.key(0), 1, 2, enc=8, dec=16,
+                         nin_a=32, nin_b=16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 1)), jnp.float32
+    )
+    from ssdn_tpu.models.blindspot_unet import _branch
+    from ssdn_tpu.ops import rot90, rotation_stack, rotation_unstack, shift_down
+
+    ga = jnp.concatenate([x, rot90(x, 2)], axis=0)
+    gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
+    fa = shift_down(_branch(params, ga, shifted=True,
+                            compute_dtype=jnp.float32), 1)
+    fb = shift_down(_branch(params, gb, shifted=True,
+                            compute_dtype=jnp.float32), 1)
+    b = x.shape[0]
+    f4 = rotation_stack(x)
+    f4 = shift_down(_branch(params, f4, shifted=True,
+                            compute_dtype=jnp.float32), 1)
+    f4 = rotation_unstack(f4)
+    f2 = jnp.concatenate(
+        [fa[:b], rot90(fb[:b], -1), rot90(fa[b:], -2), rot90(fb[b:], -3)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(f4), np.asarray(f2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blindspot_invariant_nonsquare():
+    params = init_params(jax.random.key(1), 1, 2, enc=8, dec=16,
+                         nin_a=32, nin_b=16)
+    fn = jax.jit(lambda x: apply(params, x, compute_dtype=jnp.float32))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 64, 1)), jnp.float32)
+    base = np.asarray(fn(x))
+    for r, c in [(10, 40), (31, 0), (0, 63)]:
+        xb = np.asarray(x).copy()
+        xb[0, r, c, 0] += 100.0
+        out = np.asarray(fn(jnp.asarray(xb)))
+        assert np.all(out[0, r, c] == base[0, r, c]), (r, c)
+    r, c = 16, 33
+    for dr, dc in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        xb = np.asarray(x).copy()
+        xb[0, r + dr, c + dc, 0] += 100.0
+        out = np.asarray(fn(jnp.asarray(xb)))
+        assert np.any(out[0, r, c] != base[0, r, c]), (dr, dc)
+
+
+def _untiled(cfg, params, noisy, sigma):
+    return denoise_image(make_denoise_fn(cfg), params, noisy, sigma)
+
+
+def _problem(w, h=32, seed=3):
+    cfg, params = cfg_and_params()
+    rng = np.random.default_rng(seed)
+    noisy = rng.uniform(-0.5, 0.5, (h, w, 3)).astype(np.float32)
+    sigma = jnp.full((1,), 25 / 255, jnp.float32)
+    ref = _untiled(cfg, params, noisy, sigma)
+    return cfg, params, noisy, sigma, ref
+
+
+@pytest.fixture(scope="module")
+def wide():  # strip 384 >= HALO_EXACT: exercises ppermute-exchange mode
+    return _problem(8 * 384)
+
+
+@pytest.fixture(scope="module")
+def narrow():  # strip 64 < HALO_EXACT: exercises all_gather window mode
+    return _problem(8 * 64)
+
+
+def test_exchange_mode_exact(wide):
+    cfg, params, noisy, sigma, ref = wide
+    mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
+    out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh,
+                                halo=HALO_EXACT)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_gather_mode_exact(narrow):
+    cfg, params, noisy, sigma, ref = narrow
+    mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
+    out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh,
+                                halo=HALO_EXACT)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_exchange_small_halo_approximate(wide):
+    cfg, params, noisy, sigma, ref = wide
+    mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
+    out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh, halo=96)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).mean() < 0.02  # overlap-tile approximation
+
+
+def test_sequential_exact(narrow):
+    cfg, params, noisy, sigma, ref = narrow
+    out = tiled_denoise_sequential(cfg, params, noisy, sigma,
+                                   tile_w=128, halo=HALO_EXACT)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sequential_ragged_width(narrow):
+    cfg, params, noisy, sigma, _ = narrow
+    crop = noisy[:, : 8 * 64 - 32]  # width not divisible by tile_w
+    out = tiled_denoise_sequential(cfg, params, crop, sigma,
+                                   tile_w=128, halo=HALO_EXACT)
+    # reference must be untiled on the SAME cropped image (cropping the
+    # wide reference differs near the cut: one-sided reach ~320 px)
+    ref = _untiled(cfg, params, crop, sigma)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
