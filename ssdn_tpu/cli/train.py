@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--sampler-backend", default="auto",
+                   choices=["auto", "native", "python"],
+                   help="host patch gatherer: C++ (native) or pure Python")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an XLA device trace (steps 10-15) into this "
+                        "dir; open with TensorBoard's profile plugin")
     p.add_argument(
         "--data-parallel",
         action="store_true",
@@ -97,6 +103,8 @@ def main(argv=None) -> None:
         eval_data=args.eval_data,
         mesh=mesh,
         log_interval=args.log_interval,
+        sampler_backend=args.sampler_backend,
+        profile_dir=args.profile_dir,
     )
     print(f"training: {cfg.pipeline.value} | {cfg.noise.describe()} | "
           f"{cfg.patch_size}px x{cfg.batch_size} | {cfg.iterations} iters",

@@ -54,10 +54,14 @@ class PatchSampler:
 
 class Prefetcher:
     """Background-thread prefetch of sampler batches (the host-side stage;
-    replaces the reference's DataLoader worker processes, SURVEY.md §3.5)."""
+    replaces the reference's DataLoader worker processes, SURVEY.md §3.5).
 
-    def __init__(self, sampler: PatchSampler, start_step: int, n_steps: int,
-                 depth: int = 3):
+    `transform` (e.g. a sharded jax.device_put) runs inside the worker
+    thread, so host->device transfer of batch k+1 overlaps step k's compute.
+    """
+
+    def __init__(self, sampler, start_step: int, n_steps: int,
+                 depth: int = 3, transform=None):
         self.sampler = sampler
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
@@ -66,7 +70,10 @@ class Prefetcher:
             for s in range(start_step, start_step + n_steps):
                 if self._stop.is_set():
                     return
-                self.q.put(self.sampler.sample(s))
+                batch = self.sampler.sample(s)
+                if transform is not None:
+                    batch = transform(batch)
+                self.q.put(batch)
             self.q.put(None)
 
         self.thread = threading.Thread(target=worker, daemon=True)

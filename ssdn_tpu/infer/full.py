@@ -104,6 +104,7 @@ def evaluate_dataset(
     mesh=None,
     halo: int = 320,
     tile_w: int = 512,
+    return_images: int = 0,
 ) -> Dict:
     """Reference evaluate.py flow over a dataset: returns mean/per-image
     PSNR of the denoised estimates plus the noisy-input baseline PSNR.
@@ -115,6 +116,7 @@ def evaluate_dataset(
     denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
     psnrs: List[float] = []
     noisy_psnrs: List[float] = []
+    images = []
     for i in range(len(dataset)):
         clean_u8 = dataset[i]
         clean = to_internal(clean_u8)
@@ -140,9 +142,14 @@ def evaluate_dataset(
             raise ValueError(mode)
         psnrs.append(psnr(den, clean))
         noisy_psnrs.append(psnr(y_np, clean))
-    return {
+        if i < return_images:
+            images.append({"noisy": y_np, "denoised": den, "clean": clean})
+    out = {
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_per_image": psnrs,
         "noisy_psnr_mean": float(np.mean(noisy_psnrs)),
         "n_images": len(dataset),
     }
+    if return_images:
+        out["images"] = images
+    return out

@@ -99,6 +99,18 @@ class MetricsLogger:
             for k, v in scalars.items():
                 self.tb.add_scalar(f"{prefix}/{k}", v, step)
 
+    def log_image(self, step: int, tag: str, img) -> None:
+        """img: (H, W, C) float internal range — reference-style eval image
+        grids (SURVEY.md §5.5)."""
+        if self.tb is None:
+            return
+        import numpy as np
+
+        from ssdn_tpu.utils.images import from_internal
+
+        self.tb.add_image(tag, from_internal(np.asarray(img)), step,
+                          dataformats="HWC")
+
     def close(self):
         if self.tb is not None:
             self.tb.close()
@@ -113,7 +125,14 @@ class Trainer:
         eval_data: Optional[str] = None,
         mesh: Optional[object] = None,
         log_interval: int = 100,
+        sampler_backend: str = "auto",
+        profile_dir: Optional[str] = None,
+        profile_window: tuple = (10, 15),
     ):
+        # profiling (SURVEY.md §5.1): capture an XLA device trace over
+        # profile_window steps into profile_dir (TensorBoard profile plugin)
+        self.profile_dir = profile_dir
+        self.profile_window = profile_window
         self.cfg = cfg
         self.workdir = workdir
         self.mesh = mesh
@@ -125,8 +144,11 @@ class Trainer:
             if eval_data
             else None
         )
-        self.sampler = PatchSampler(
-            self.dataset, cfg.patch_size, cfg.batch_size, seed=cfg.seed
+        from ssdn_tpu.native import make_sampler
+
+        self.sampler = make_sampler(
+            self.dataset, cfg.patch_size, cfg.batch_size, seed=cfg.seed,
+            backend=sampler_backend,
         )
         self.step_fn = parallel.jit_data_parallel(
             make_train_step(cfg), mesh
@@ -137,12 +159,17 @@ class Trainer:
     def _eval(self, state: TrainState, step: int) -> Optional[float]:
         if self.eval_dataset is None:
             return None
-        res = evaluate_dataset(self.cfg, state.params, self.eval_dataset)
+        res = evaluate_dataset(
+            self.cfg, state.params, self.eval_dataset, return_images=2
+        )
         self.logger.log(
             step,
             {"psnr": res["psnr_mean"], "noisy_psnr": res["noisy_psnr_mean"]},
             prefix="eval",
         )
+        for i, trio in enumerate(res.get("images", [])):
+            self.logger.log_image(step, f"eval/{i}/noisy", trio["noisy"])
+            self.logger.log_image(step, f"eval/{i}/denoised", trio["denoised"])
         print(
             f"[eval @ {step}] psnr {res['psnr_mean']:.3f} dB "
             f"(noisy {res['noisy_psnr_mean']:.3f})",
@@ -162,12 +189,20 @@ class Trainer:
         todo = cfg.iterations - start
         if todo <= 0:
             return state
-        prefetch = Prefetcher(self.sampler, start, todo)
+        prefetch = Prefetcher(
+            self.sampler, start, todo,
+            transform=lambda b: parallel.put_batch(b, self.mesh),
+        )
         t0, tn0 = time.time(), start
         try:
-            for batch in prefetch:
+            for dev_batch in prefetch:
                 step = int(state.step)
-                dev_batch = parallel.put_batch(batch, self.mesh)
+                if self.profile_dir is not None:
+                    if step - start == self.profile_window[0]:
+                        jax.profiler.start_trace(self.profile_dir)
+                    elif step - start == self.profile_window[1]:
+                        jax.block_until_ready(state.params)
+                        jax.profiler.stop_trace()
                 state, metrics = self.step_fn(state, dev_batch)
                 next_step = step + 1
                 if next_step % self.log_interval == 0 or next_step == cfg.iterations:
