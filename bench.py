@@ -46,16 +46,18 @@ def main() -> None:
         rng.integers(0, 256, (batch, 64, 64, 3), dtype=np.uint8)
     )
 
-    # warmup (compile) + 3 steps
+    # warmup (compile) + 3 steps; the barrier must FETCH a value —
+    # block_until_ready on the remote-TPU (axon) platform returns once the
+    # execution is enqueued through the tunnel, not when it finishes
     for _ in range(4):
         state, metrics = step(state, batch_u8)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch_u8)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # value fetch = true barrier (chained steps)
     dt = time.perf_counter() - t0
 
     pps = n_steps * batch / dt

@@ -43,7 +43,7 @@ from ssdn_tpu.ops import (
     shifted_maxpool_2x2,
     upsample_2x_nearest,
 )
-from ssdn_tpu.ops.shifted import maxpool_2x2
+from ssdn_tpu.ops.shifted import matmul_acc_f32, maxpool_2x2
 
 Params = Dict[str, Dict[str, jax.Array]]
 
@@ -190,12 +190,19 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
     else:
         f = _branch(params, x, shifted=False, compute_dtype=compute_dtype,
                     conv_backend=conv_backend)
-    # 1x1 combiner head in fp32 (SURVEY.md §2.4-2.5)
-    f = f.astype(jnp.float32)
-    f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"]))
-    f = leaky_relu(conv2d(f, params["nin_b"]["w"], params["nin_b"]["b"]))
+    # 1x1 combiner head: nin_a/nin_b ride the fast MXU path in the compute
+    # dtype; nin_c accumulates in fp32 (matmul_acc_f32) so mu/Sigma leave
+    # the network as fp32 for the estimator's fp32 island (SURVEY.md §2.5).
+    # Profiling note: an all-fp32 head cost ~10 ms/step in converts and
+    # 6-pass fp32 matmuls on v5e.
+    f = f.astype(compute_dtype)
+    f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"],
+                          out_dtype=compute_dtype))
+    f = leaky_relu(conv2d(f, params["nin_b"]["w"], params["nin_b"]["b"],
+                          out_dtype=compute_dtype))
     p = params["nin_c"]
-    return conv2d(f, p["w"], p["b"])
+    out = matmul_acc_f32(f, p["w"][0, 0].astype(compute_dtype))
+    return out + p["b"].astype(jnp.float32)
 
 
 def tree_cast(params: Params, dtype) -> Params:

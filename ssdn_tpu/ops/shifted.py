@@ -109,6 +109,40 @@ def shifted_maxpool_2x2(x: jax.Array) -> jax.Array:
     return maxpool_2x2(x)
 
 
+@jax.custom_vjp
+def matmul_acc_f32(x: jax.Array, w: jax.Array) -> jax.Array:
+    """(..., K) @ (K, N) -> fp32, with low-precision (e.g. bf16) operands
+    and fp32 MXU accumulation.
+
+    Exists because plain `preferred_element_type=f32` on bf16 operands
+    breaks reverse-mode autodiff (the transposed op mixes an fp32 cotangent
+    with bf16 weights). The custom VJP casts cotangents back to the operand
+    dtype and accumulates dw in fp32 — the standard mixed-precision recipe.
+    Used for the final 1x1 head conv so mu/Sigma leave the network in fp32.
+    """
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _mm_fwd(x, w):
+    return matmul_acc_f32(x, w), (x, w)
+
+
+def _mm_bwd(res, g):
+    x, w = res
+    gl = g.astype(x.dtype)
+    dx = jnp.dot(gl, w.T.astype(x.dtype))
+    k = x.shape[-1]
+    dw = jnp.dot(
+        x.reshape(-1, k).T,
+        gl.reshape(-1, g.shape[-1]),
+        preferred_element_type=jnp.float32,
+    )
+    return dx, dw
+
+
+matmul_acc_f32.defvjp(_mm_fwd, _mm_bwd)
+
+
 def maxpool_2x2(x: jax.Array) -> jax.Array:
     """2x2/2 max-pool. Windows are non-overlapping, so a reshape-max is the
     cleanest lowering (differentiable, fuses; generic reduce_window lacks a
