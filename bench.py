@@ -23,6 +23,47 @@ import numpy as np
 REFERENCE_PATCHES_PER_SEC = 1000.0  # order-of-magnitude anchor, see docstring
 
 
+def bench_inference() -> None:
+    """Secondary headline metric: full-image denoise megapixels/sec
+    (Kodak-shaped 768x512 RGB, posterior mean included).
+    Run: python bench.py inference"""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+    from ssdn_tpu.infer import make_denoise_fn
+    from ssdn_tpu.models import init_params
+
+    cfg = TrainConfig(
+        noise=parse_noise_style("gauss25"),
+        model=ModelConfig(in_channels=3, compute_dtype="bfloat16"),
+    )
+    params = init_params(jax.random.key(0), 3, 9)
+    fn = make_denoise_fn(cfg)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 512, 768, 3)), jnp.float32)
+    sigma = jnp.full((1,), 25 / 255, jnp.float32)
+    out = fn(params, y, sigma)
+    float(out.ravel()[0])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(params, y, sigma)
+    float(out.ravel()[0])
+    dt = time.perf_counter() - t0
+    mps = n * (512 * 768) / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "ssdn_inference_throughput",
+                "value": round(mps, 2),
+                "unit": "megapixels/sec (768x512 RGB full-image posterior mean)",
+                "vs_baseline": round(mps / 2.0, 3),  # ~2 MP/s 2019-GPU anchor
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -34,7 +75,7 @@ def main() -> None:
     batch = 128
     cfg = TrainConfig(
         noise=parse_noise_style("gauss25"),
-        model=ModelConfig(in_channels=3, compute_dtype="bfloat16"),
+        model=ModelConfig(in_channels=3),  # production default numerics
         patch_size=64,
         batch_size=batch,
         iterations=10_000,
@@ -66,7 +107,7 @@ def main() -> None:
             {
                 "metric": "ssdn_train_throughput",
                 "value": round(pps, 2),
-                "unit": "patches/sec/chip (64x64 RGB, bf16, fused step)",
+                "unit": "patches/sec/chip (64x64 RGB, fused step, default numerics)",
                 "vs_baseline": round(pps / REFERENCE_PATCHES_PER_SEC, 3),
             }
         )
@@ -74,4 +115,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "inference":
+        bench_inference()
+    else:
+        main()

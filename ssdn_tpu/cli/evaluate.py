@@ -88,7 +88,6 @@ def _save_images(cfg, params, ds, args, eval_noise) -> None:
     from ssdn_tpu.infer import denoise_image, make_denoise_fn
     from ssdn_tpu.infer.full import _true_param
     from ssdn_tpu.noise import add_noise
-    from ssdn_tpu.train.step import pipeline_blindspot
     from ssdn_tpu.utils import save_image, to_internal
 
     noise = eval_noise or cfg.noise

@@ -50,12 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--iterations", type=int, default=100_000)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-interval", type=int, default=10_000)
     p.add_argument("--snapshot-interval", type=int, default=10_000)
     p.add_argument("--log-interval", type=int, default=100)
-    p.add_argument("--compute-dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["bfloat16", "float32"],
+                   help="float32 (+conv-precision high) is the stable "
+                        "training default; bfloat16 diverges on the "
+                        "norm-free NLL trunk (see README numerics notes)")
+    p.add_argument("--conv-precision", default="high",
+                   choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--sampler-backend", default="auto",
@@ -80,11 +87,13 @@ def config_from_args(args) -> TrainConfig:
             in_channels=1 if args.grayscale else 3,
             compute_dtype=args.compute_dtype,
             conv_backend=args.conv_backend,
+            conv_precision=args.conv_precision,
         ),
         patch_size=args.patch_size,
         batch_size=args.batch_size,
         iterations=args.iterations,
         lr=args.lr,
+        grad_clip=args.grad_clip,
         seed=args.seed,
         eval_interval=args.eval_interval,
         snapshot_interval=args.snapshot_interval,

@@ -16,7 +16,6 @@ import dataclasses
 import enum
 import json
 import re
-from typing import Optional, Tuple
 
 
 class NoiseModel(str, enum.Enum):
@@ -114,9 +113,15 @@ class ModelConfig:
     nin_a_features: int = 384
     nin_b_features: int = 96
     blindspot: bool = True
-    # bf16 conv path, fp32 head/estimator (SURVEY.md §2.5 numerical notes).
-    compute_dtype: str = "bfloat16"
+    # Numerics (SURVEY.md §2.5 + measured stability, see README):
+    # the norm-free 22-conv trunk diverges under NLL training when gradients
+    # are bf16-rounded, so training defaults to fp32 activations with
+    # conv_precision="high" (bf16_3x MXU passes ~ fp32 accuracy at ~2x the
+    # bf16 step time). "bfloat16" + "default" is the fast inference path;
+    # "highest" is the exact-parity/debug path.
+    compute_dtype: str = "float32"
     param_dtype: str = "float32"
+    conv_precision: str = "high"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
     conv_backend: str = "lax"
 
@@ -134,6 +139,7 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.99
     adam_eps: float = 1e-8
+    grad_clip: float = 0.0  # global-norm clip; 0 = off (stability knob)
     # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
     # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.
     blind_reg: float = 0.1

@@ -43,6 +43,27 @@ from ssdn_tpu.estimator import spd3
 _LOG2PI = math.log(2.0 * math.pi)
 _VAR_EPS = 1e-8      # variance floor for the C=1 path
 _IMPULSE_EPS = 1e-4  # Sigma_x diagonal epsilon for the impulse density
+# Robustified NLL: the quadratic term uses a Huber penalty on the
+# *standardized* residual z = L^{-1}(y - mu), switching to linear growth
+# beyond _HUBER_DELTA sigmas. Measured necessity (README numerics notes):
+# with the pure quadratic, training exhibits a positive-feedback runaway —
+# individual pixels become confidently wrong (|mu| drifts past the data
+# range while Sigma_x -> 0), their NLL gradient grows like |mu - y| / var
+# (observed per-pixel NLL 200+ and gradient-norm spikes 20 -> 135 within a
+# few steps), the spike corrupts the shared trunk weights, creating more
+# such pixels until the trunk diverges. Huberizing caps the per-pixel
+# gradient at delta/sigma while keeping it non-vanishing (hard/tanh output
+# bounds were tried and create saturation traps instead). At delta = 5 a
+# healthy model's standardized residuals essentially never reach the linear
+# region (P(|z|>5) ~ 6e-7), so the optimum matches the reference NLL.
+_HUBER_DELTA = 5.0
+
+
+def _huber_quad(z: jax.Array, delta: float = _HUBER_DELTA) -> jax.Array:
+    """x^2-like penalty with linear tails: z^2 for |z|<=delta, else
+    2*delta*|z| - delta^2 (so it and its gradient are continuous)."""
+    az = jnp.abs(z)
+    return jnp.where(az <= delta, z * z, 2.0 * delta * az - delta * delta)
 
 
 def split_outputs(out: jax.Array, channels: int, blind: bool):
@@ -84,34 +105,45 @@ def _noise_variance(
     raise ValueError(f"no Gaussian-family variance for {cfg.model}")
 
 
-def _gauss_nll_post_1(mu, a, y, var):
+def _gauss_nll_post_1(mu, a, y, var, robust=False):
     """C=1 closed forms; all (B,H,W,1)."""
     sigma_x = a[..., :1] ** 2
     var_y = sigma_x + var + _VAR_EPS
     d = y - mu
-    nll = 0.5 * (d * d / var_y + jnp.log(var_y) + _LOG2PI)
+    z2 = d * d / var_y
+    if robust:
+        z2 = _huber_quad(d * jax.lax.rsqrt(var_y))
+    nll = 0.5 * (z2 + jnp.log(var_y) + _LOG2PI)
     post = mu + sigma_x / var_y * d
     return nll[..., 0], post
 
 
-def _gauss_nll_post_3(mu, a, y, var):
-    """C=3 via the closed-form SPD3 path."""
+def _gauss_nll_post_3(mu, a, y, var, robust=False):
+    """C=3 via the closed-form SPD3 path. robust=True Huberizes each
+    whitened residual component z = L^{-1} d."""
     sx = spd3.sym3_from_tri(a)
     sy = spd3.sym3_add_diag(sx, tuple(var[..., i] for i in range(3)))
     d = tuple(y[..., i] - mu[..., i] for i in range(3))
-    w, quad, logdet = spd3.sym3_solve_quad_logdet(sy, d)
+    L = spd3.chol3(sy)
+    z = spd3.chol3_forward_sub(L, d)
+    if robust:
+        quad = sum(_huber_quad(zi) for zi in z)
+    else:
+        quad = z[0] * z[0] + z[1] * z[1] + z[2] * z[2]
+    logdet = spd3.chol3_logdet(L)
+    w = spd3.chol3_back_sub(L, z)
     nll = 0.5 * (quad + logdet + 3.0 * _LOG2PI)
     post = spd3.sym3_matvec(sx, w)
     post = jnp.stack([mu[..., i] + post[i] for i in range(3)], axis=-1)
     return nll, post
 
 
-def _gauss_nll_post(mu, a, y, var):
+def _gauss_nll_post(mu, a, y, var, robust=False):
     c = mu.shape[-1]
     if c == 1:
-        return _gauss_nll_post_1(mu, a, y, var)
+        return _gauss_nll_post_1(mu, a, y, var, robust)
     if c == 3:
-        return _gauss_nll_post_3(mu, a, y, var)
+        return _gauss_nll_post_3(mu, a, y, var, robust)
     raise ValueError(f"unsupported channel count {c}")
 
 
@@ -156,7 +188,9 @@ def nll(
     aux = {}
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
         var, sigma = _noise_variance(cfg, noise_params, mu, noise_ch)
-        pix_nll, _ = _gauss_nll_post(mu, a, y, var)
+        # training loss uses the robust (Huberized-residual) form; see the
+        # _HUBER_DELTA note above
+        pix_nll, _ = _gauss_nll_post(mu, a, y, var, robust=True)
         loss = jnp.mean(pix_nll)
         if cfg.model == NoiseModel.GAUSSIAN and blind:
             aux["sigma_hat"] = sigma

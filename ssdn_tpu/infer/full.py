@@ -12,20 +12,14 @@ image geometry (Kodak 768x512, BSD68 481x321) compile once.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ssdn_tpu import estimator
-from ssdn_tpu.config import (
-    NoiseConfig,
-    NoiseValue,
-    Pipeline,
-    TrainConfig,
-)
+from ssdn_tpu.config import NoiseConfig, Pipeline, TrainConfig
 from ssdn_tpu.models import blindspot_unet
 from ssdn_tpu.noise import add_noise
 from ssdn_tpu.train.step import pipeline_blindspot
@@ -43,6 +37,7 @@ def make_denoise_fn(cfg: TrainConfig):
         out = blindspot_unet.apply(
             params, y, blindspot=blindspot, compute_dtype=compute_dtype,
             conv_backend=cfg.model.conv_backend,
+            conv_precision=cfg.model.conv_precision,
         )
         if cfg.pipeline == Pipeline.SSDN:
             noise_params = _noise_param_dict(cfg.noise, sigma_or_param)

@@ -36,8 +36,6 @@ the batch dimension inside each strip's forward pass (non-square fold).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +60,7 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
         blindspot=pipeline_blindspot(cfg.pipeline),
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         conv_backend=cfg.model.conv_backend,
+        conv_precision=cfg.model.conv_precision,
     )
     if cfg.pipeline == Pipeline.SSDN:
         return estimator.posterior_mean(

@@ -28,7 +28,7 @@ plain U-Net used by the N2C / N2N baseline pipelines (SURVEY.md §2.5).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -109,7 +109,8 @@ def param_count(params: Params) -> int:
 
 
 def _branch(params: Params, x: jax.Array, *, shifted: bool,
-            compute_dtype, conv_backend: str = "lax") -> jax.Array:
+            compute_dtype, conv_backend: str = "lax",
+            conv_precision: str = "highest") -> jax.Array:
     """The shared U-Net trunk on a (possibly rotation-folded) batch."""
     pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
     use_pallas = conv_backend == "pallas" and shifted
@@ -124,7 +125,8 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
                 compute_dtype, False,
             )
         return leaky_relu(
-            conv2d(h, p["w"], p["b"], shifted=shifted, out_dtype=compute_dtype)
+            conv2d(h, p["w"], p["b"], shifted=shifted,
+                   out_dtype=compute_dtype, precision=conv_precision)
         )
 
     x = x.astype(compute_dtype)
@@ -146,7 +148,8 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
 
 
 def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
-          compute_dtype=jnp.bfloat16, conv_backend: str = "lax") -> jax.Array:
+          compute_dtype=jnp.bfloat16, conv_backend: str = "lax",
+          conv_precision: str = "highest") -> jax.Array:
     """Forward pass: (B, H, W, C) -> (B, H, W, n_out) in fp32.
 
     H, W % 32 == 0. Square inputs fold all four rotations into one 4x batch;
@@ -161,7 +164,7 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             # square: all four rotations ride one 4x batch
             f = rotation_stack(x)
             f = _branch(params, f, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend)
+                        conv_backend=conv_backend, conv_precision=conv_precision)
             f = shift_down(f, 1)
             f = rotation_unstack(f)   # (B, H, W, 4*dec)
         else:
@@ -172,11 +175,11 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
             fa = shift_down(
                 _branch(params, ga, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend), 1
+                        conv_backend=conv_backend, conv_precision=conv_precision), 1
             )
             fb = shift_down(
                 _branch(params, gb, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend), 1
+                        conv_backend=conv_backend, conv_precision=conv_precision), 1
             )
             f = jnp.concatenate(
                 [
@@ -189,7 +192,7 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             )
     else:
         f = _branch(params, x, shifted=False, compute_dtype=compute_dtype,
-                    conv_backend=conv_backend)
+                    conv_backend=conv_backend, conv_precision=conv_precision)
     # 1x1 combiner head: nin_a/nin_b ride the fast MXU path in the compute
     # dtype; nin_c accumulates in fp32 (matmul_acc_f32) so mu/Sigma leave
     # the network as fp32 for the estimator's fp32 island (SURVEY.md §2.5).
@@ -197,9 +200,9 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
     # 6-pass fp32 matmuls on v5e.
     f = f.astype(compute_dtype)
     f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"],
-                          out_dtype=compute_dtype))
+                          out_dtype=compute_dtype, precision=conv_precision))
     f = leaky_relu(conv2d(f, params["nin_b"]["w"], params["nin_b"]["b"],
-                          out_dtype=compute_dtype))
+                          out_dtype=compute_dtype, precision=conv_precision))
     p = params["nin_c"]
     out = matmul_acc_f32(f, p["w"][0, 0].astype(compute_dtype))
     return out + p["b"].astype(jnp.float32)

@@ -27,8 +27,6 @@ Differential tests vs the lax path: tests/test_pallas.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -71,6 +71,14 @@ def conv2d(
         preferred = jnp.float32
         if precision is None:
             precision = lax.Precision.HIGHEST
+        elif isinstance(precision, str):
+            precision = {
+                "default": lax.Precision.DEFAULT,
+                "high": lax.Precision.HIGH,
+                "highest": lax.Precision.HIGHEST,
+            }[precision]
+    elif isinstance(precision, str):
+        precision = None  # precision tiers only apply to fp32 inputs
     kh, kw = w.shape[0], w.shape[1]
     if shifted:
         hpad = (kh - 1, 0)

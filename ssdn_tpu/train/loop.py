@@ -9,19 +9,17 @@ saved state beyond the step counter — batches are a pure function of
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ssdn_tpu import parallel
 from ssdn_tpu.config import TrainConfig, to_json, train_config_from_json
-from ssdn_tpu.data import PatchSampler, Prefetcher, open_dataset
+from ssdn_tpu.data import Prefetcher, open_dataset
 from ssdn_tpu.infer import evaluate_dataset
 from ssdn_tpu.train.step import TrainState, init_state, make_train_step
 
@@ -194,9 +192,10 @@ class Trainer:
             transform=lambda b: parallel.put_batch(b, self.mesh),
         )
         t0, tn0 = time.time(), start
+        step = start  # python-side mirror of state.step: fetching
+        # int(state.step) per iteration would synchronize every step
         try:
             for dev_batch in prefetch:
-                step = int(state.step)
                 if self.profile_dir is not None:
                     if step - start == self.profile_window[0]:
                         jax.profiler.start_trace(self.profile_dir)
@@ -204,7 +203,7 @@ class Trainer:
                         jax.block_until_ready(state.params)
                         jax.profiler.stop_trace()
                 state, metrics = self.step_fn(state, dev_batch)
-                next_step = step + 1
+                step = next_step = step + 1
                 if next_step % self.log_interval == 0 or next_step == cfg.iterations:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t0

@@ -56,12 +56,15 @@ def lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adam(
+    adam = optax.adam(
         learning_rate=lr_schedule(cfg),
         b1=cfg.adam_b1,
         b2=cfg.adam_b2,
         eps=cfg.adam_eps,
     )
+    if cfg.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+    return adam
 
 
 def init_state(cfg: TrainConfig) -> TrainState:
@@ -95,6 +98,7 @@ def make_train_step(cfg: TrainConfig):
         return blindspot_unet.apply(
             params, y, blindspot=blindspot, compute_dtype=compute_dtype,
             conv_backend=cfg.model.conv_backend,
+            conv_precision=cfg.model.conv_precision,
         )
 
     def step_fn(state: TrainState, batch_u8) -> Tuple[TrainState, Dict]:

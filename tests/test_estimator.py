@@ -15,9 +15,16 @@ from ssdn_tpu.estimator.core import _LOG2PI, estimate_sigma, split_outputs
 B, H, W = 2, 4, 5
 
 
-def dense_reference(mu, a_tri, y, var_diag):
+def huber(z, delta=5.0):
+    """Mirror of estimator._huber_quad (robust training NLL)."""
+    az = np.abs(z)
+    return np.where(az <= delta, z * z, 2 * delta * az - delta * delta)
+
+
+def dense_reference(mu, a_tri, y, var_diag, robust=False):
     """Per-pixel dense NLL + posterior with numpy linalg. a_tri packs upper-
-    triangular A rows; var_diag (..., C) is the noise covariance diagonal."""
+    triangular A rows; var_diag (..., C) is the noise covariance diagonal.
+    robust=True Huberizes the whitened residual (training-loss form)."""
     C = mu.shape[-1]
     tri = np.zeros(mu.shape[:-1] + (C, C))
     idx = 0
@@ -29,7 +36,9 @@ def dense_reference(mu, a_tri, y, var_diag):
     sy = sx + np.apply_along_axis(np.diag, -1, var_diag)
     d = (y - mu)[..., None]
     syi = np.linalg.inv(sy)
-    quad = np.einsum("...i,...ij,...j->...", d[..., 0], syi, d[..., 0])
+    L = np.linalg.cholesky(sy)
+    z = np.linalg.solve(L, d)[..., 0]
+    quad = huber(z).sum(-1) if robust else (z ** 2).sum(-1)
     _, logdet = np.linalg.slogdet(sy)
     nll_px = 0.5 * (quad + logdet + C * _LOG2PI)
     post = mu + np.einsum("...ij,...jk,...k->...i", sx, syi, d[..., 0])
@@ -54,7 +63,7 @@ def test_gaussian_known_gray_matches_dense():
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
 
     var = np.broadcast_to((sigma ** 2)[:, None, None, None], y.shape)
-    ref_nll, ref_post, _ = dense_reference(out[..., :1], out[..., 1:2], y, var)
+    ref_nll, ref_post, _ = dense_reference(out[..., :1], out[..., 1:2], y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=2e-4, atol=1e-5)
 
@@ -68,7 +77,7 @@ def test_gaussian_known_rgb_matches_dense():
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
 
     var = np.broadcast_to((sigma ** 2)[:, None, None, None], y.shape)
-    ref_nll, ref_post, _ = dense_reference(out[..., :3], out[..., 3:9], y, var)
+    ref_nll, ref_post, _ = dense_reference(out[..., :3], out[..., 3:9], y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=1e-3, atol=1e-4)
 
@@ -89,7 +98,7 @@ def test_gaussian_blind_sigma_estimate_and_reg():
     loss2, _ = nll(jnp.asarray(out), jnp.asarray(y), cfg, {}, blind_reg=0.5)
     assert float(loss2) < float(loss)
     var = np.broadcast_to((ref_sig ** 2)[:, None, None, None], y.shape)
-    ref_nll, _, _ = dense_reference(out[..., :3], out[..., 3:9], y, var)
+    ref_nll, _, _ = dense_reference(out[..., :3], out[..., 3:9], y, var, robust=True)
     np.testing.assert_allclose(
         float(loss), ref_nll.mean() - 0.1 * ref_sig.mean(), rtol=1e-4
     )
@@ -104,7 +113,7 @@ def test_poisson_variance_substitution():
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
     mu = out[..., :3]
     var = np.maximum(mu + 0.5, 1e-3) / lam
-    ref_nll, ref_post, _ = dense_reference(mu, out[..., 3:9], y, var)
+    ref_nll, ref_post, _ = dense_reference(mu, out[..., 3:9], y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=1e-3, atol=1e-4)
 
