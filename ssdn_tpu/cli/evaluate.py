@@ -35,6 +35,9 @@ def main(argv=None) -> None:
                    help="eval noise seed (deterministic per image)")
     p.add_argument("--save-images", default=None)
     p.add_argument("--json-out", default=None)
+    p.add_argument("--which", default="auto", choices=["auto", "best", "latest"],
+                   help="checkpoint choice: 'best' = highest eval PSNR seen "
+                        "during training; 'auto' prefers best when present")
     p.add_argument(
         "--tiled",
         default="full",
@@ -50,7 +53,7 @@ def main(argv=None) -> None:
 
     cfg = load_config(args.workdir)
     state = init_state(cfg)
-    state = CheckpointManager(args.workdir, cfg).restore(state)
+    state = _restore(args, cfg, state)
     ds = open_dataset(args.dataset, grayscale=cfg.grayscale)
     eval_noise = (
         parse_noise_style(args.noise_style, blind=cfg.noise.value.value == "blind")
@@ -80,6 +83,20 @@ def main(argv=None) -> None:
             json.dump(res, f, indent=2)
     if args.save_images:
         _save_images(cfg, state.params, ds, args, eval_noise)
+
+
+def _restore(args, cfg, state):
+    if args.which in ("best", "auto"):
+        best = CheckpointManager(args.workdir, cfg, subdir="ckpt_best",
+                                 max_to_keep=1)
+        if best.latest_step() is not None:
+            print("restoring best-PSNR checkpoint (ckpt_best)")
+            return best.restore(state)
+        if args.which == "best":
+            raise FileNotFoundError(
+                f"no best checkpoint in {args.workdir}/ckpt_best"
+            )
+    return CheckpointManager(args.workdir, cfg).restore(state)
 
 
 def _save_images(cfg, params, ds, args, eval_noise) -> None:

@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="float32 (+conv-precision high) is the stable "
                         "training default; bfloat16 diverges on the "
                         "norm-free NLL trunk (see README numerics notes)")
-    p.add_argument("--conv-precision", default="high",
+    p.add_argument("--conv-precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
     p.add_argument("--no-resume", action="store_true")

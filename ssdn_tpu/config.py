@@ -113,15 +113,16 @@ class ModelConfig:
     nin_a_features: int = 384
     nin_b_features: int = 96
     blindspot: bool = True
-    # Numerics (SURVEY.md §2.5 + measured stability, see README):
-    # the norm-free 22-conv trunk diverges under NLL training when gradients
-    # are bf16-rounded, so training defaults to fp32 activations with
-    # conv_precision="high" (bf16_3x MXU passes ~ fp32 accuracy at ~2x the
-    # bf16 step time). "bfloat16" + "default" is the fast inference path;
-    # "highest" is the exact-parity/debug path.
+    # Numerics (SURVEY.md §2.5 + the measured stability matrix in README):
+    # the norm-free 22-conv trunk under the NLL objective diverges with
+    # bf16-class gradient precision (bf16, fp32+default, fp32+high all
+    # blow up within 1-6k steps across every optimizer-side mitigation
+    # tried); true fp32 ("highest", = the PyTorch reference's numerics)
+    # holds. Training therefore defaults to fp32/highest; bfloat16 is the
+    # fast path for inference and for the MSE-family pipelines (stable).
     compute_dtype: str = "float32"
     param_dtype: str = "float32"
-    conv_precision: str = "high"  # default | high | highest (fp32 inputs)
+    conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
     conv_backend: str = "lax"
 
@@ -138,7 +139,14 @@ class TrainConfig:
     lr_rampdown_frac: float = 0.3  # cosine rampdown over last fraction [N2N conv.]
     adam_b1: float = 0.9
     adam_b2: float = 0.99
-    adam_eps: float = 1e-8
+    # eps = 1e-3 (not the reference's 1e-8): measured necessity. The NLL's
+    # 1/var curvature lets Adam's normalized steps random-walk noise-
+    # dominated parameters into a variance-collapse runaway (README
+    # numerics notes); eps=1e-3 suppresses full-size steps precisely in
+    # directions with < 1e-3 gradient evidence and was the only arm that
+    # stayed stable (vs grad-clip / weight-decay / lower-lr / beta2 /
+    # Huber-delta sweeps, all of which diverged).
+    adam_eps: float = 1e-3
     grad_clip: float = 0.0  # global-norm clip; 0 = off (stability knob)
     # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
     # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.

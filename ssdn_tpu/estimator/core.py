@@ -57,6 +57,15 @@ _IMPULSE_EPS = 1e-4  # Sigma_x diagonal epsilon for the impulse density
 # healthy model's standardized residuals essentially never reach the linear
 # region (P(|z|>5) ~ 6e-7), so the optimum matches the reference NLL.
 _HUBER_DELTA = 5.0
+# Soft output bounds (x -> L tanh(x/L)), the coercive backstop on top of the
+# Huber cap: healthy values sit 4-8x inside the linear region (mu in
+# [-1/2, 1/2] vs L=2; covariance factors ~0.3 vs L=4), so the estimator is
+# unchanged where it matters, while runaway outputs saturate instead of
+# escaping to infinity. Huber alone (not coercive) and bounds alone (tight
+# bounds trap when pixel gradients push hard) both diverged; the
+# combination holds — see README numerics notes.
+_MU_BOUND = 2.0
+_A_BOUND = 4.0
 
 
 def _huber_quad(z: jax.Array, delta: float = _HUBER_DELTA) -> jax.Array:
@@ -66,13 +75,17 @@ def _huber_quad(z: jax.Array, delta: float = _HUBER_DELTA) -> jax.Array:
     return jnp.where(az <= delta, z * z, 2.0 * delta * az - delta * delta)
 
 
+def _soft_bound(x: jax.Array, limit: float) -> jax.Array:
+    return limit * jnp.tanh(x / limit)
+
+
 def split_outputs(out: jax.Array, channels: int, blind: bool):
     """(B,H,W,n_out) -> (mu, a_tri, noise_ch|None). n_out layout per
     SURVEY.md §2.4: C mu channels, C(C+1)/2 covariance channels, then one
     optional noise-estimate channel."""
     t = channels * (channels + 1) // 2
-    mu = out[..., :channels]
-    a = out[..., channels : channels + t]
+    mu = _soft_bound(out[..., :channels], _MU_BOUND)
+    a = _soft_bound(out[..., channels : channels + t], _A_BOUND)
     noise_ch = out[..., channels + t] if blind else None
     return mu, a, noise_ch
 

@@ -15,6 +15,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ssdn_tpu import parallel
@@ -36,18 +37,25 @@ def load_config(workdir: str) -> TrainConfig:
 
 
 class CheckpointManager:
-    """Thin wrapper over orbax CheckpointManager for the TrainState pytree."""
+    """Thin wrapper over orbax CheckpointManager for the TrainState pytree.
 
-    def __init__(self, workdir: str, cfg: TrainConfig):
+    subdir "ckpt" holds the rolling keep-K snapshots; subdir "ckpt_best"
+    (see Trainer._eval) holds the single best-by-eval-PSNR state — the one
+    users generally want, since NLL loss health does not guarantee eval
+    quality (README numerics notes).
+    """
+
+    def __init__(self, workdir: str, cfg: TrainConfig, subdir: str = "ckpt",
+                 max_to_keep: Optional[int] = None):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
         self.cfg = cfg
-        self.dir = os.path.abspath(os.path.join(workdir, "ckpt"))
+        self.dir = os.path.abspath(os.path.join(workdir, subdir))
         self.mgr = ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=cfg.keep_checkpoints, create=True
+                max_to_keep=max_to_keep or cfg.keep_checkpoints, create=True
             ),
         )
 
@@ -152,6 +160,9 @@ class Trainer:
             make_train_step(cfg), mesh
         )
         self.ckpt = CheckpointManager(workdir, cfg)
+        self.best_ckpt = CheckpointManager(workdir, cfg, subdir="ckpt_best",
+                                           max_to_keep=1)
+        self.best_psnr = float("-inf")
         self.logger = MetricsLogger(workdir)
 
     def _eval(self, state: TrainState, step: int) -> Optional[float]:
@@ -173,6 +184,9 @@ class Trainer:
             f"(noisy {res['noisy_psnr_mean']:.3f})",
             flush=True,
         )
+        if res["psnr_mean"] > self.best_psnr:
+            self.best_psnr = res["psnr_mean"]
+            self.best_ckpt.save(state)
         return res["psnr_mean"]
 
     def train(self, resume: bool = True) -> TrainState:
@@ -187,23 +201,94 @@ class Trainer:
         todo = cfg.iterations - start
         if todo <= 0:
             return state
-        prefetch = Prefetcher(
-            self.sampler, start, todo,
-            transform=lambda b: parallel.put_batch(b, self.mesh),
-        )
-        t0, tn0 = time.time(), start
         step = start  # python-side mirror of state.step: fetching
         # int(state.step) per iteration would synchronize every step
+
+        # Loss-spike rollback guard (SURVEY.md §5.3 failure detection):
+        # the NLL objective can nucleate a runaway from a specific
+        # (weights, batch) interaction (README numerics notes). Every
+        # guard_check steps the loss scalar is fetched; a spike above the
+        # EMA + guard_margin (or non-finite) restores the last good state
+        # and SKIPS past the offending data window (the sampler is
+        # step-indexed, so skipping is just advancing the counter).
+        guard_check, guard_margin = 50, 0.5
+        guard_max_consecutive = 20  # then early-stop at the last good state
+        guard_loss_ema = None
+        guard_streak = 0
+        good_state = jax.tree.map(jnp.copy, state)
+
+        def run_window(state, from_step, to_step, profiled=[False]):
+            if (
+                self.profile_dir is not None
+                and not profiled[0]
+                and from_step <= start + self.profile_window[0] < to_step
+            ):
+                profiled[0] = True
+                jax.profiler.start_trace(self.profile_dir)
+                try:
+                    state, metrics = run_window(state, from_step, to_step)
+                    jax.block_until_ready(state.params)
+                finally:
+                    jax.profiler.stop_trace()
+                return state, metrics
+            prefetch = Prefetcher(
+                self.sampler, from_step, to_step - from_step,
+                transform=lambda b: parallel.put_batch(b, self.mesh),
+            )
+            metrics = None
+            try:
+                for dev_batch in prefetch:
+                    state, metrics = self.step_fn(state, dev_batch)
+            finally:
+                prefetch.close()
+            return state, metrics
+
+        t0, tn0 = time.time(), start
         try:
-            for dev_batch in prefetch:
-                if self.profile_dir is not None:
-                    if step - start == self.profile_window[0]:
-                        jax.profiler.start_trace(self.profile_dir)
-                    elif step - start == self.profile_window[1]:
-                        jax.block_until_ready(state.params)
-                        jax.profiler.stop_trace()
-                state, metrics = self.step_fn(state, dev_batch)
-                step = next_step = step + 1
+            while step < cfg.iterations:
+                window_end = min(step + guard_check, cfg.iterations)
+                # align windows to log/eval/snapshot boundaries
+                for iv in (self.log_interval, cfg.eval_interval,
+                           cfg.snapshot_interval):
+                    nxt = (step // iv + 1) * iv
+                    window_end = min(window_end, nxt)
+                state, metrics = run_window(state, step, window_end)
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss) or (
+                    guard_loss_ema is not None
+                    and loss > guard_loss_ema + guard_margin
+                ):
+                    print(
+                        f"[guard @ {window_end}] loss {loss:.3f} vs ema "
+                        f"{guard_loss_ema if guard_loss_ema is None else round(guard_loss_ema, 3)}"
+                        f" — rolling back and skipping the window",
+                        flush=True,
+                    )
+                    # restore last good params/opt state; skip the window's
+                    # data by advancing the step counter without training
+                    state = jax.tree.map(jnp.copy, good_state)
+                    state = state.replace(
+                        step=jnp.asarray(window_end, jnp.int32)
+                    )
+                    step = window_end
+                    guard_streak += 1
+                    if guard_streak >= guard_max_consecutive:
+                        print(
+                            f"[guard] {guard_streak} consecutive rollbacks — "
+                            "training has reached an unstable region; "
+                            "early-stopping at the last good state",
+                            flush=True,
+                        )
+                        self.ckpt.save(state)
+                        break
+                    continue
+                guard_streak = 0
+                guard_loss_ema = (
+                    loss if guard_loss_ema is None
+                    else 0.9 * guard_loss_ema + 0.1 * loss
+                )
+                good_state = jax.tree.map(jnp.copy, state)
+                step = next_step = window_end
                 if next_step % self.log_interval == 0 or next_step == cfg.iterations:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t0
@@ -224,8 +309,11 @@ class Trainer:
                     or next_step == cfg.iterations
                 ):
                     self.ckpt.save(state)
+            # unconditional final save — a guard rollback on the last
+            # window would otherwise skip the final snapshot
+            if self.ckpt.latest_step() != int(state.step):
+                self.ckpt.save(state)
         finally:
-            prefetch.close()
             self.ckpt.mgr.wait_until_finished()
             self.logger.close()
         return state

@@ -21,6 +21,16 @@ def huber(z, delta=5.0):
     return np.where(az <= delta, z * z, 2 * delta * az - delta * delta)
 
 
+def bmu(x):
+    """Mirror of the mu soft bound (L=2)."""
+    return 2.0 * np.tanh(np.asarray(x) / 2.0)
+
+
+def ba(x):
+    """Mirror of the covariance-factor soft bound (L=4)."""
+    return 4.0 * np.tanh(np.asarray(x) / 4.0)
+
+
 def dense_reference(mu, a_tri, y, var_diag, robust=False):
     """Per-pixel dense NLL + posterior with numpy linalg. a_tri packs upper-
     triangular A rows; var_diag (..., C) is the noise covariance diagonal.
@@ -63,7 +73,7 @@ def test_gaussian_known_gray_matches_dense():
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
 
     var = np.broadcast_to((sigma ** 2)[:, None, None, None], y.shape)
-    ref_nll, ref_post, _ = dense_reference(out[..., :1], out[..., 1:2], y, var, robust=True)
+    ref_nll, ref_post, _ = dense_reference(bmu(out[..., :1]), ba(out[..., 1:2]), y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=2e-4, atol=1e-5)
 
@@ -77,7 +87,7 @@ def test_gaussian_known_rgb_matches_dense():
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
 
     var = np.broadcast_to((sigma ** 2)[:, None, None, None], y.shape)
-    ref_nll, ref_post, _ = dense_reference(out[..., :3], out[..., 3:9], y, var, robust=True)
+    ref_nll, ref_post, _ = dense_reference(bmu(out[..., :3]), ba(out[..., 3:9]), y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=1e-3, atol=1e-4)
 
@@ -98,7 +108,7 @@ def test_gaussian_blind_sigma_estimate_and_reg():
     loss2, _ = nll(jnp.asarray(out), jnp.asarray(y), cfg, {}, blind_reg=0.5)
     assert float(loss2) < float(loss)
     var = np.broadcast_to((ref_sig ** 2)[:, None, None, None], y.shape)
-    ref_nll, _, _ = dense_reference(out[..., :3], out[..., 3:9], y, var, robust=True)
+    ref_nll, _, _ = dense_reference(bmu(out[..., :3]), ba(out[..., 3:9]), y, var, robust=True)
     np.testing.assert_allclose(
         float(loss), ref_nll.mean() - 0.1 * ref_sig.mean(), rtol=1e-4
     )
@@ -111,9 +121,9 @@ def test_poisson_variance_substitution():
     params = {"lam": jnp.asarray(lam)}
     loss, _ = nll(jnp.asarray(out), jnp.asarray(y), cfg, params)
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
-    mu = out[..., :3]
+    mu = bmu(out[..., :3])
     var = np.maximum(mu + 0.5, 1e-3) / lam
-    ref_nll, ref_post, _ = dense_reference(mu, out[..., 3:9], y, var, robust=True)
+    ref_nll, ref_post, _ = dense_reference(mu, ba(out[..., 3:9]), y, var, robust=True)
     np.testing.assert_allclose(float(loss), ref_nll.mean(), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(post), ref_post, rtol=1e-3, atol=1e-4)
 
@@ -126,7 +136,7 @@ def test_impulse_mixture_matches_dense():
     loss, _ = nll(jnp.asarray(out), jnp.asarray(y), cfg, params)
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, params)
 
-    mu, a = out[..., :3], out[..., 3:9]
+    mu, a = bmu(out[..., :3]), ba(out[..., 3:9])
     eps_var = np.full(y.shape, 1e-4)
     ref_nll_g, _, _ = dense_reference(mu, a, y, eps_var)  # = -log N(y; mu, Sx+eps)
     n_density = np.exp(-ref_nll_g)
@@ -150,7 +160,7 @@ def test_impulse_posterior_limits():
             posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg,
                            {"alpha": jnp.asarray(alpha)})
         )
-        target = y if ref == "y" else out[..., :1]
+        target = y if ref == "y" else bmu(out[..., :1])
         np.testing.assert_allclose(post, target, atol=1e-3)
 
 
@@ -160,7 +170,7 @@ def test_posterior_shrinks_towards_mu_when_noise_dominates():
     cfg = NoiseConfig(model=NoiseModel.GAUSSIAN, value=NoiseValue.KNOWN)
     big = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg,
                          {"sigma": jnp.full((B,), 100.0)})
-    np.testing.assert_allclose(np.asarray(big), out[..., :1], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(big), bmu(out[..., :1]), atol=1e-3)
     tiny = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg,
                           {"sigma": jnp.full((B,), 1e-6)})
     np.testing.assert_allclose(np.asarray(tiny), y, atol=1e-3)
@@ -188,3 +198,18 @@ def test_split_outputs_layout():
     assert mu.shape == (2, 1, 1, 3) and a.shape == (2, 1, 1, 6)
     assert s.shape == (2, 1, 1)
     np.testing.assert_array_equal(np.asarray(s), np.asarray(out[..., 9]))
+
+
+def test_impulse_blind_alpha_estimate():
+    out, y = rand_outputs(3, blind=True, seed=8)
+    cfg = NoiseConfig(model=NoiseModel.IMPULSE, value=NoiseValue.BLIND,
+                      alpha=0.5)
+    loss, aux = nll(jnp.asarray(out), jnp.asarray(y), cfg, {})
+    assert bool(jnp.isfinite(loss))
+    ah = np.asarray(aux["alpha_hat"])
+    assert ah.shape == (B,) and (ah > 0).all() and (ah < 1).all()
+    # sigmoid spatial mean of the extra channel
+    ref = (1 / (1 + np.exp(-out[..., 9]))).mean(axis=(1, 2))
+    np.testing.assert_allclose(ah, ref, rtol=1e-4)
+    post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, {})
+    assert bool(jnp.isfinite(post).all())
