@@ -52,15 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off)")
+    p.add_argument("--nll-beta", type=float, default=1.0,
+                   help="beta-NLL pixel weight exponent; 1.0 = stable "
+                        "default with identical per-pixel optima, 0.0 = "
+                        "the reference's raw NLL")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-interval", type=int, default=10_000)
     p.add_argument("--snapshot-interval", type=int, default=10_000)
     p.add_argument("--log-interval", type=int, default=100)
-    p.add_argument("--compute-dtype", default="float32",
+    p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
-                   help="float32 (+conv-precision high) is the stable "
-                        "training default; bfloat16 diverges on the "
-                        "norm-free NLL trunk (see README numerics notes)")
+                   help="bfloat16 is the fast stable default with "
+                        "--nll-beta 1; float32 + --conv-precision highest "
+                        "reproduces the reference's numerics exactly")
     p.add_argument("--conv-precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
@@ -94,6 +98,7 @@ def config_from_args(args) -> TrainConfig:
         iterations=args.iterations,
         lr=args.lr,
         grad_clip=args.grad_clip,
+        nll_beta=args.nll_beta,
         seed=args.seed,
         eval_interval=args.eval_interval,
         snapshot_interval=args.snapshot_interval,

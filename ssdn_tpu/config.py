@@ -114,13 +114,12 @@ class ModelConfig:
     nin_b_features: int = 96
     blindspot: bool = True
     # Numerics (SURVEY.md §2.5 + the measured stability matrix in README):
-    # the norm-free 22-conv trunk under the NLL objective diverges with
-    # bf16-class gradient precision (bf16, fp32+default, fp32+high all
-    # blow up within 1-6k steps across every optimizer-side mitigation
-    # tried); true fp32 ("highest", = the PyTorch reference's numerics)
-    # holds. Training therefore defaults to fp32/highest; bfloat16 is the
-    # fast path for inference and for the MSE-family pipelines (stable).
-    compute_dtype: str = "float32"
+    # with the beta=1 NLL weighting (TrainConfig.nll_beta) the bf16 MXU
+    # fast path trains stably (validated 11k+ steps; the raw beta=0 NLL
+    # diverges in every precision below fp32/highest). float32 +
+    # conv_precision="highest" reproduces the PyTorch reference's numerics
+    # exactly at ~4x the step time.
+    compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
@@ -151,6 +150,10 @@ class TrainConfig:
     # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
     # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.
     blind_reg: float = 0.1
+    # beta-NLL pixel-weight exponent (estimator.nll docstring): 1.0 keeps
+    # per-pixel optima identical to the reference NLL while removing the
+    # 1/var gradient disparity that destabilizes training; 0.0 = raw NLL.
+    nll_beta: float = 1.0
     seed: int = 0
     eval_interval: int = 10_000
     snapshot_interval: int = 10_000

@@ -119,7 +119,8 @@ def _noise_variance(
 
 
 def _gauss_nll_post_1(mu, a, y, var, robust=False):
-    """C=1 closed forms; all (B,H,W,1)."""
+    """C=1 closed forms; all (B,H,W,1). Returns (nll, posterior, per-pixel
+    variance scale for the beta-NLL weight)."""
     sigma_x = a[..., :1] ** 2
     var_y = sigma_x + var + _VAR_EPS
     d = y - mu
@@ -128,12 +129,13 @@ def _gauss_nll_post_1(mu, a, y, var, robust=False):
         z2 = _huber_quad(d * jax.lax.rsqrt(var_y))
     nll = 0.5 * (z2 + jnp.log(var_y) + _LOG2PI)
     post = mu + sigma_x / var_y * d
-    return nll[..., 0], post
+    return nll[..., 0], post, var_y[..., 0]
 
 
 def _gauss_nll_post_3(mu, a, y, var, robust=False):
-    """C=3 via the closed-form SPD3 path. robust=True Huberizes each
-    whitened residual component z = L^{-1} d."""
+    """C=3 via the closed-form SPD3 path; robust=True Huberizes each
+    whitened residual component z = L^{-1} d. Returns (nll, posterior,
+    per-pixel variance scale for the beta-NLL weight)."""
     sx = spd3.sym3_from_tri(a)
     sy = spd3.sym3_add_diag(sx, tuple(var[..., i] for i in range(3)))
     d = tuple(y[..., i] - mu[..., i] for i in range(3))
@@ -148,7 +150,8 @@ def _gauss_nll_post_3(mu, a, y, var, robust=False):
     nll = 0.5 * (quad + logdet + 3.0 * _LOG2PI)
     post = spd3.sym3_matvec(sx, w)
     post = jnp.stack([mu[..., i] + post[i] for i in range(3)], axis=-1)
-    return nll, post
+    # geometric-mean per-channel variance = exp(logdet / 3)
+    return nll, post, jnp.exp(logdet / 3.0)
 
 
 def _gauss_nll_post(mu, a, y, var, robust=False):
@@ -191,8 +194,20 @@ def nll(
     noise_params: Dict[str, jax.Array],
     *,
     blind_reg: float = 0.1,
+    beta: float = 1.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Mean negative log-likelihood training loss. Returns (scalar, aux)."""
+    """Mean negative log-likelihood training loss. Returns (scalar, aux).
+
+    beta is the beta-NLL pixel weight exponent (Seitzer et al. 2022): each
+    pixel's NLL is scaled by stop_grad(var_y)^beta. A positive per-pixel
+    rescale leaves every pixel's stationary point IDENTICAL to the plain
+    NLL, but at beta=1 the mu-gradient becomes exactly MSE-scale — removing
+    the 1/var curvature disparity that was measured to drive the training
+    runaway (README numerics notes: beta=1 is the only variant stable in
+    bf16; beta=0 reproduces the reference's raw NLL). The weights are
+    normalized by their batch mean so the loss magnitude (and the blind_reg
+    balance) stays on the NLL scale.
+    """
     out = out.astype(jnp.float32)
     y = y.astype(jnp.float32)
     c = y.shape[-1]
@@ -203,7 +218,11 @@ def nll(
         var, sigma = _noise_variance(cfg, noise_params, mu, noise_ch)
         # training loss uses the robust (Huberized-residual) form; see the
         # _HUBER_DELTA note above
-        pix_nll, _ = _gauss_nll_post(mu, a, y, var, robust=True)
+        pix_nll, _, var_scale = _gauss_nll_post(mu, a, y, var, robust=True)
+        if beta:
+            w = jax.lax.stop_gradient(var_scale) ** beta
+            w = w / jnp.mean(w)
+            pix_nll = w * pix_nll
         loss = jnp.mean(pix_nll)
         if cfg.model == NoiseModel.GAUSSIAN and blind:
             aux["sigma_hat"] = sigma
@@ -241,7 +260,7 @@ def posterior_mean(
     mu, a, noise_ch = split_outputs(out, c, blind)
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
         var, _ = _noise_variance(cfg, noise_params, mu, noise_ch)
-        _, post = _gauss_nll_post(mu, a, y, var)
+        _, post, _ = _gauss_nll_post(mu, a, y, var)
         return post
     if cfg.model == NoiseModel.IMPULSE:
         alpha = _impulse_alpha(cfg, noise_params, noise_ch)

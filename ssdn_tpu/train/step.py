@@ -111,7 +111,8 @@ def make_train_step(cfg: TrainConfig):
             if cfg.pipeline == Pipeline.SSDN:
                 out = forward(params, y)
                 loss, aux = estimator.nll(
-                    out, y, cfg.noise, noise_params, blind_reg=cfg.blind_reg
+                    out, y, cfg.noise, noise_params,
+                    blind_reg=cfg.blind_reg, beta=cfg.nll_beta,
                 )
                 return loss, aux
             if cfg.pipeline == Pipeline.SSDN_MSE:

@@ -51,6 +51,9 @@ def dense_reference(mu, a_tri, y, var_diag, robust=False):
     quad = huber(z).sum(-1) if robust else (z ** 2).sum(-1)
     _, logdet = np.linalg.slogdet(sy)
     nll_px = 0.5 * (quad + logdet + C * _LOG2PI)
+    if robust:  # mirror the beta=1 pixel weighting of the training loss
+        w = np.exp(logdet / C)
+        nll_px = (w / w.mean()) * nll_px
     post = mu + np.einsum("...ij,...jk,...k->...i", sx, syi, d[..., 0])
     return nll_px, post, sx
 
