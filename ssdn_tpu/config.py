@@ -154,6 +154,14 @@ class TrainConfig:
     # per-pixel optima identical to the reference NLL while removing the
     # 1/var gradient disparity that destabilizes training; 0.0 = raw NLL.
     nll_beta: float = 1.0
+    # Loss-spike rollback guard (SURVEY.md §5.3; train/loop.py). The margin
+    # is *relative* — k times the EMA of the loss's absolute deviation — so
+    # the same knobs work for NLL pipelines (loss can be negative, scale
+    # varies with the noise model) and MSE pipelines (scale ~1e-2).
+    guard_check: int = 50            # loss fetch cadence in steps; <=0 disables
+    guard_margin_k: float = 6.0      # spike threshold = k * EMA |deviation|
+    guard_margin_floor: float = 0.05 # absolute floor before deviation stats exist
+    guard_max_consecutive: int = 20  # rollbacks in a row before early-stop
     seed: int = 0
     eval_interval: int = 10_000
     snapshot_interval: int = 10_000

@@ -150,19 +150,51 @@ class Trainer:
             if eval_data
             else None
         )
-        from ssdn_tpu.native import make_sampler
+        from ssdn_tpu.native import NativePatchSampler, make_sampler
 
+        # Pin the sampler backend across resumes: 'auto' re-decided per
+        # environment would silently change the (deterministic) crop stream
+        # mid-run if the native build outcome differs, breaking the
+        # (seed, step) exact-resume contract (ADVICE r1). The first run
+        # records the resolved backend; later runs reuse it.
+        backend_path = os.path.join(workdir, "sampler_backend.json")
+        if sampler_backend == "auto" and os.path.exists(backend_path):
+            with open(backend_path) as f:
+                sampler_backend = json.load(f)["backend"]
         self.sampler = make_sampler(
             self.dataset, cfg.patch_size, cfg.batch_size, seed=cfg.seed,
             backend=sampler_backend,
         )
+        resolved = (
+            "native" if isinstance(self.sampler, NativePatchSampler)
+            else "python"
+        )
+        if not os.path.exists(backend_path):
+            with open(backend_path, "w") as f:
+                json.dump({"backend": resolved}, f)
+        else:
+            with open(backend_path) as f:
+                recorded = json.load(f)["backend"]
+            if recorded != resolved:
+                print(
+                    f"[warn] sampler backend changed across resume: "
+                    f"recorded={recorded} resolved={resolved} — the crop "
+                    f"stream will differ from the original run",
+                    flush=True,
+                )
         self.step_fn = parallel.jit_data_parallel(
             make_train_step(cfg), mesh
         )
         self.ckpt = CheckpointManager(workdir, cfg)
         self.best_ckpt = CheckpointManager(workdir, cfg, subdir="ckpt_best",
                                            max_to_keep=1)
+        # best_psnr persists across preemption-resume so a post-restart eval
+        # can't overwrite ckpt_best with a worse state (ADVICE r1).
+        self._best_path = os.path.join(workdir, "best_psnr.json")
         self.best_psnr = float("-inf")
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                self.best_psnr = float(json.load(f)["psnr"])
         self.logger = MetricsLogger(workdir)
 
     def _eval(self, state: TrainState, step: int) -> Optional[float]:
@@ -187,6 +219,8 @@ class Trainer:
         if res["psnr_mean"] > self.best_psnr:
             self.best_psnr = res["psnr_mean"]
             self.best_ckpt.save(state)
+            with open(self._best_path, "w") as f:
+                json.dump({"psnr": self.best_psnr, "step": step}, f)
         return res["psnr_mean"]
 
     def train(self, resume: bool = True) -> TrainState:
@@ -208,14 +242,25 @@ class Trainer:
         # the NLL objective can nucleate a runaway from a specific
         # (weights, batch) interaction (README numerics notes). Every
         # guard_check steps the loss scalar is fetched; a spike above the
-        # EMA + guard_margin (or non-finite) restores the last good state
-        # and SKIPS past the offending data window (the sampler is
-        # step-indexed, so skipping is just advancing the counter).
-        guard_check, guard_margin = 50, 0.5
-        guard_max_consecutive = 20  # then early-stop at the last good state
+        # EMA + margin (or non-finite) restores the last good state and
+        # SKIPS past the offending data window (the sampler is step-indexed,
+        # so skipping is just advancing the counter). The margin is scale-
+        # aware — guard_margin_k times the EMA of the loss's absolute
+        # deviation — so the same knobs fit NLL (negative, noise-model-
+        # dependent scale) and MSE (~1e-2 scale) pipelines.
+        guard_on = cfg.guard_check > 0
+        guard_check = cfg.guard_check if guard_on else self.log_interval
+        guard_max_consecutive = cfg.guard_max_consecutive
         guard_loss_ema = None
+        guard_dev_ema = None  # EMA of |loss - ema|; sets the relative margin
         guard_streak = 0
         good_state = jax.tree.map(jnp.copy, state)
+
+        def guard_margin():
+            if guard_dev_ema is None:
+                return cfg.guard_margin_floor
+            return max(cfg.guard_margin_floor,
+                       cfg.guard_margin_k * guard_dev_ema)
 
         def run_window(state, from_step, to_step, profiled=[False]):
             if (
@@ -255,12 +300,14 @@ class Trainer:
                 state, metrics = run_window(state, step, window_end)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss) or (
-                    guard_loss_ema is not None
-                    and loss > guard_loss_ema + guard_margin
+                    guard_on
+                    and guard_loss_ema is not None
+                    and loss > guard_loss_ema + guard_margin()
                 ):
                     print(
                         f"[guard @ {window_end}] loss {loss:.3f} vs ema "
                         f"{guard_loss_ema if guard_loss_ema is None else round(guard_loss_ema, 3)}"
+                        f" (margin {guard_margin():.3g})"
                         f" — rolling back and skipping the window",
                         flush=True,
                     )
@@ -283,10 +330,15 @@ class Trainer:
                         break
                     continue
                 guard_streak = 0
-                guard_loss_ema = (
-                    loss if guard_loss_ema is None
-                    else 0.9 * guard_loss_ema + 0.1 * loss
-                )
+                if guard_loss_ema is None:
+                    guard_loss_ema = loss
+                else:
+                    dev = abs(loss - guard_loss_ema)
+                    guard_dev_ema = (
+                        dev if guard_dev_ema is None
+                        else 0.9 * guard_dev_ema + 0.1 * dev
+                    )
+                    guard_loss_ema = 0.9 * guard_loss_ema + 0.1 * loss
                 good_state = jax.tree.map(jnp.copy, state)
                 step = next_step = window_end
                 if next_step % self.log_interval == 0 or next_step == cfg.iterations:
