@@ -68,6 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conv-precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
+    p.add_argument("--decoder-mode", default="fused", choices=["fused", "naive"])
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--sampler-backend", default="auto",
                    choices=["auto", "native", "python"],
@@ -92,6 +93,7 @@ def config_from_args(args) -> TrainConfig:
             compute_dtype=args.compute_dtype,
             conv_backend=args.conv_backend,
             conv_precision=args.conv_precision,
+            decoder_mode=args.decoder_mode,
         ),
         patch_size=args.patch_size,
         batch_size=args.batch_size,

@@ -124,6 +124,12 @@ class ModelConfig:
     conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
     conv_backend: str = "lax"
+    # Decoder upsample->concat->conv stages: "fused" computes each one as a
+    # phase-decomposed coarse-resolution conv (exact rewrite, ~0.67x MACs at
+    # full MXU lane fill — ops.shifted_upsample_concat_conv); "naive" keeps
+    # the literal composition (differential-test oracle). Parameters are
+    # identical, so checkpoints move freely between modes.
+    decoder_mode: str = "fused"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,7 @@ def make_denoise_fn(cfg: TrainConfig):
             params, y, blindspot=blindspot, compute_dtype=compute_dtype,
             conv_backend=cfg.model.conv_backend,
             conv_precision=cfg.model.conv_precision,
+            decoder_mode=cfg.model.decoder_mode,
         )
         if cfg.pipeline == Pipeline.SSDN:
             noise_params = _noise_param_dict(cfg.noise, sigma_or_param)

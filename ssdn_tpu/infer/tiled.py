@@ -61,6 +61,7 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         conv_backend=cfg.model.conv_backend,
         conv_precision=cfg.model.conv_precision,
+        decoder_mode=cfg.model.decoder_mode,
     )
     if cfg.pipeline == Pipeline.SSDN:
         return estimator.posterior_mean(

@@ -43,7 +43,11 @@ from ssdn_tpu.ops import (
     shifted_maxpool_2x2,
     upsample_2x_nearest,
 )
-from ssdn_tpu.ops.shifted import matmul_acc_f32, maxpool_2x2
+from ssdn_tpu.ops.shifted import (
+    matmul_acc_f32,
+    maxpool_2x2,
+    shifted_upsample_concat_conv,
+)
 
 Params = Dict[str, Dict[str, jax.Array]]
 
@@ -110,10 +114,14 @@ def param_count(params: Params) -> int:
 
 def _branch(params: Params, x: jax.Array, *, shifted: bool,
             compute_dtype, conv_backend: str = "lax",
-            conv_precision: str = "highest") -> jax.Array:
+            conv_precision: str = "highest",
+            decoder_mode: str = "fused") -> jax.Array:
     """The shared U-Net trunk on a (possibly rotation-folded) batch."""
     pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
     use_pallas = conv_backend == "pallas" and shifted
+    # The phase-decomposed decoder rewrite is derived for the shifted
+    # (causal-up) geometry; the plain-U-Net baselines keep the literal path.
+    fuse_dec = decoder_mode == "fused" and shifted
 
     def conv(name, h):
         p = params[name]
@@ -141,15 +149,26 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
     h = conv("enc6", h)
     # skips = [input, pool1, pool2, pool3, pool4]; decode coarse -> fine
     for stage, skip in zip((5, 4, 3, 2, 1), reversed(skips)):
-        h = upsample_2x_nearest(h)
-        h = jnp.concatenate([h, skip.astype(compute_dtype)], axis=-1)
-        h = conv(f"dec{stage}b", conv(f"dec{stage}a", h))
+        if fuse_dec:
+            p = params[f"dec{stage}a"]
+            h = leaky_relu(
+                shifted_upsample_concat_conv(
+                    h, skip.astype(compute_dtype), p["w"], p["b"],
+                    out_dtype=compute_dtype, precision=conv_precision,
+                )
+            )
+        else:
+            h = upsample_2x_nearest(h)
+            h = jnp.concatenate([h, skip.astype(compute_dtype)], axis=-1)
+            h = conv(f"dec{stage}a", h)
+        h = conv(f"dec{stage}b", h)
     return h
 
 
 def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
           compute_dtype=jnp.bfloat16, conv_backend: str = "lax",
-          conv_precision: str = "highest") -> jax.Array:
+          conv_precision: str = "highest",
+          decoder_mode: str = "fused") -> jax.Array:
     """Forward pass: (B, H, W, C) -> (B, H, W, n_out) in fp32.
 
     H, W % 32 == 0. Square inputs fold all four rotations into one 4x batch;
@@ -164,7 +183,8 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             # square: all four rotations ride one 4x batch
             f = rotation_stack(x)
             f = _branch(params, f, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision)
+                        conv_backend=conv_backend, conv_precision=conv_precision,
+                        decoder_mode=decoder_mode)
             f = shift_down(f, 1)
             f = rotation_unstack(f)   # (B, H, W, 4*dec)
         else:
@@ -175,11 +195,13 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
             fa = shift_down(
                 _branch(params, ga, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision), 1
+                        conv_backend=conv_backend, conv_precision=conv_precision,
+                        decoder_mode=decoder_mode), 1
             )
             fb = shift_down(
                 _branch(params, gb, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision), 1
+                        conv_backend=conv_backend, conv_precision=conv_precision,
+                        decoder_mode=decoder_mode), 1
             )
             f = jnp.concatenate(
                 [
@@ -192,7 +214,8 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             )
     else:
         f = _branch(params, x, shifted=False, compute_dtype=compute_dtype,
-                    conv_backend=conv_backend, conv_precision=conv_precision)
+                    conv_backend=conv_backend, conv_precision=conv_precision,
+                        decoder_mode=decoder_mode)
     # 1x1 combiner head: nin_a/nin_b ride the fast MXU path in the compute
     # dtype; nin_c accumulates in fp32 (matmul_acc_f32) so mu/Sigma leave
     # the network as fp32 for the estimator's fp32 island (SURVEY.md §2.5).

@@ -4,6 +4,7 @@ from ssdn_tpu.ops.shifted import (
     maxpool_2x2,
     shift_down,
     shifted_maxpool_2x2,
+    shifted_upsample_concat_conv,
     upsample_2x_nearest,
 )
 from ssdn_tpu.ops.rotation import rot90, rotation_stack, rotation_unstack
@@ -14,6 +15,7 @@ __all__ = [
     "maxpool_2x2",
     "shift_down",
     "shifted_maxpool_2x2",
+    "shifted_upsample_concat_conv",
     "upsample_2x_nearest",
     "rot90",
     "rotation_stack",

@@ -151,6 +151,111 @@ def _mm_bwd(res, g):
 matmul_acc_f32.defvjp(_mm_fwd, _mm_bwd)
 
 
+def _collapse_upsample_kernel(w_up: jax.Array) -> jax.Array:
+    """Collapse a 3x3 kernel meant for nearest-2x-upsampled input into the
+    equivalent (2, 3, Cin, 4*Cout) coarse-resolution kernel.
+
+    Derivation (shifted geometry: out[R, C] = sum_{i,j} u[R-2+i, C-1+j] W[i,j]
+    with u[Y, X] = h[Y//2, X//2]). Writing R = 2r+pr, C = 2c+pc, each fine
+    output phase (pr, pc) reads a 2x2 window of h whose effective weights are
+    sums of the original taps:
+
+        rows  (offset r-1+a):  pr=0: a=0 <- W[0]+W[1], a=1 <- W[2]
+                               pr=1: a=0 <- W[0],      a=1 <- W[1]+W[2]
+        cols  (offset c-1+b):  pc=0: b=0 <- W[:,0], b=1 <- W[:,1]+W[:,2], b=2 <- 0
+                               pc=1: b=0 <- 0, b=1 <- W[:,0]+W[:,1], b=2 <- W[:,2]
+
+    Stacking the four phases along output channels gives one dense 2x3 conv
+    at coarse resolution: 4/9 of the fine-resolution MACs and a 4*Cout lane
+    dimension that fills the 128-wide MXU (SURVEY.md §2.2; the fine-res
+    original runs 96-out-channel convs at 75% lane fill).
+    """
+    # row collapse: (3, ...) -> (pr, a, ...)
+    r0 = jnp.stack([w_up[0] + w_up[1], w_up[2]])          # pr=0: (a, 3, Ci, Co)
+    r1 = jnp.stack([w_up[0], w_up[1] + w_up[2]])          # pr=1
+    rows = jnp.stack([r0, r1])                            # (pr, a, 3, Ci, Co)
+    # col collapse: (..., 3, Ci, Co) -> (pc, ..., b, Ci, Co)
+    z = jnp.zeros_like(rows[:, :, 0])
+    c0 = jnp.stack([rows[:, :, 0], rows[:, :, 1] + rows[:, :, 2], z], axis=2)
+    c1 = jnp.stack([z, rows[:, :, 0] + rows[:, :, 1], rows[:, :, 2]], axis=2)
+    wc = jnp.stack([c0, c1])                              # (pc, pr, a, b, Ci, Co)
+    # -> (a, b, Ci, pr, pc, Co) -> (2, 3, Ci, 4*Co)
+    wc = jnp.transpose(wc, (2, 3, 4, 1, 0, 5))
+    a, b, ci, pr, pc, co = wc.shape
+    return wc.reshape(a, b, ci, pr * pc * co)
+
+
+def shifted_upsample_concat_conv(
+    h: jax.Array,
+    skip: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    out_dtype: jnp.dtype | None = None,
+    precision: lax.Precision | str | None = None,
+) -> jax.Array:
+    """conv2d(concat([upsample_2x_nearest(h), skip], -1), w, b, shifted=True)
+    computed exactly, without materializing the upsample or the concat.
+
+    h: (N, Hc, Wc, Cup) coarse features; skip: (N, 2Hc, 2Wc, Cskip);
+    w: (3, 3, Cup + Cskip, Cout) — the SAME parameters as the unfused path
+    (split internally), so checkpoints are interchangeable between paths.
+
+    The upsampled part runs as one coarse-resolution 2x3 conv with 4*Cout
+    output channels (see _collapse_upsample_kernel) followed by a
+    depth-to-space interleave; the skip part is a standard fine-resolution
+    shifted conv. Both accumulate into the same output. This is the TPU-first
+    rewrite of the reference's upsample->concat->conv decoder stages [R]
+    (SURVEY.md §2.4): ~0.67x the MACs at ~100% MXU lane fill for the
+    dominant branch.
+    """
+    n, hc, wc_, cup = h.shape
+    cout = w.shape[-1]
+    w_up = w[:, :, :cup, :]
+    w_skip = w[:, :, cup:, :]
+    wcoll = _collapse_upsample_kernel(w_up)
+
+    preferred = None
+    prec = precision
+    if h.dtype == jnp.float32:
+        preferred = jnp.float32
+        if prec is None:
+            prec = lax.Precision.HIGHEST
+        elif isinstance(prec, str):
+            prec = {
+                "default": lax.Precision.DEFAULT,
+                "high": lax.Precision.HIGH,
+                "highest": lax.Precision.HIGHEST,
+            }[prec]
+    elif isinstance(prec, str):
+        prec = None
+
+    coarse = lax.conv_general_dilated(
+        h,
+        wcoll.astype(h.dtype),
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 1)),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=preferred,
+        precision=prec,
+    )  # (N, Hc, Wc, 4*Cout)
+    # depth-to-space: channel (pr, pc, co) -> pixel (2r+pr, 2c+pc, co)
+    coarse = coarse.reshape(n, hc, wc_, 2, 2, cout)
+    coarse = jnp.transpose(coarse, (0, 1, 3, 2, 4, 5))
+    up_part = coarse.reshape(n, 2 * hc, 2 * wc_, cout)
+
+    skip_part = conv2d(
+        skip.astype(h.dtype), w_skip, None, shifted=True,
+        out_dtype=None, precision=precision,
+    )
+    out = up_part + skip_part
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
 def maxpool_2x2(x: jax.Array) -> jax.Array:
     """2x2/2 max-pool. Windows are non-overlapping, so a reshape-max is the
     cleanest lowering (differentiable, fuses; generic reduce_window lacks a

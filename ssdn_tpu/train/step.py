@@ -99,6 +99,7 @@ def make_train_step(cfg: TrainConfig):
             params, y, blindspot=blindspot, compute_dtype=compute_dtype,
             conv_backend=cfg.model.conv_backend,
             conv_precision=cfg.model.conv_precision,
+            decoder_mode=cfg.model.decoder_mode,
         )
 
     def step_fn(state: TrainState, batch_u8) -> Tuple[TrainState, Dict]:
