@@ -27,8 +27,11 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", required=True,
                    help="training workdir containing config.json and ckpt/")
-    p.add_argument("--dataset", required=True,
-                   help="image folder | .h5 | synthetic[:n[:size]]")
+    p.add_argument("--dataset", required=True, action="append",
+                   help="image folder | .h5 | synthetic[:n[:size]]; repeat "
+                        "the flag or comma-separate to build the reference-"
+                        "style multi-set PSNR table (Kodak/BSD68/Set14, "
+                        "SURVEY.md §2.1 eval row)")
     p.add_argument("--noise-style", default=None,
                    help="override eval noise (default: training noise)")
     p.add_argument("--seed", type=int, default=0x5EED,
@@ -54,7 +57,7 @@ def main(argv=None) -> None:
     cfg = load_config(args.workdir)
     state = init_state(cfg)
     state = _restore(args, cfg, state)
-    ds = open_dataset(args.dataset, grayscale=cfg.grayscale)
+    datasets = [d for spec in args.dataset for d in spec.split(",") if d]
     eval_noise = (
         parse_noise_style(args.noise_style, blind=cfg.noise.value.value == "blind")
         if args.noise_style
@@ -65,24 +68,50 @@ def main(argv=None) -> None:
         from ssdn_tpu import parallel
 
         mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)
-    res = evaluate_dataset(
-        cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
-        mode=args.tiled, mesh=mesh, halo=args.halo, tile_w=args.tile_w,
-    )
 
     print(f"checkpoint step: {int(state.step)}")
-    print(f"dataset: {args.dataset} ({res['n_images']} images)")
     print(f"noise:   {(eval_noise or cfg.noise).describe()}")
-    for i, v in enumerate(res["psnr_per_image"]):
-        print(f"  image {i:3d}: {v:7.3f} dB")
-    print(f"noisy PSNR mean:    {res['noisy_psnr_mean']:7.3f} dB")
-    print(f"denoised PSNR mean: {res['psnr_mean']:7.3f} dB")
+    results = {}
+    for name in datasets:
+        ds = open_dataset(name, grayscale=cfg.grayscale)
+        res = evaluate_dataset(
+            cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
+            mode=args.tiled, mesh=mesh, halo=args.halo, tile_w=args.tile_w,
+        )
+        results[name] = res
+        print(f"\ndataset: {name} ({res['n_images']} images)")
+        for i, v in enumerate(res["psnr_per_image"]):
+            print(f"  image {i:3d}: {v:7.3f} dB")
+        print(f"noisy PSNR mean:    {res['noisy_psnr_mean']:7.3f} dB")
+        print(f"denoised PSNR mean: {res['psnr_mean']:7.3f} dB")
+        if args.save_images:
+            subdir = (args.save_images if len(datasets) == 1 else
+                      os.path.join(args.save_images,
+                                   os.path.basename(name.replace(":", "_"))))
+            _save_images(cfg, state.params, ds, args, eval_noise, subdir)
+
+    # the reference's eval artifact is a PSNR *table* over the eval sets
+    if len(datasets) > 1:
+        print("\nPSNR table (dB):")
+        width = max(len(n) for n in datasets)
+        print(f"  {'dataset':<{width}}  {'noisy':>8}  {'denoised':>8}  images")
+        for name in datasets:
+            r = results[name]
+            print(f"  {name:<{width}}  {r['noisy_psnr_mean']:8.3f}  "
+                  f"{r['psnr_mean']:8.3f}  {r['n_images']:4d}")
 
     if args.json_out:
+        payload = results[datasets[0]] if len(datasets) == 1 else {
+            "datasets": results,
+            "table": {
+                n: {"psnr_mean": results[n]["psnr_mean"],
+                    "noisy_psnr_mean": results[n]["noisy_psnr_mean"],
+                    "n_images": results[n]["n_images"]}
+                for n in datasets
+            },
+        }
         with open(args.json_out, "w") as f:
-            json.dump(res, f, indent=2)
-    if args.save_images:
-        _save_images(cfg, state.params, ds, args, eval_noise)
+            json.dump(payload, f, indent=2)
 
 
 def _restore(args, cfg, state):
@@ -99,7 +128,7 @@ def _restore(args, cfg, state):
     return CheckpointManager(args.workdir, cfg).restore(state)
 
 
-def _save_images(cfg, params, ds, args, eval_noise) -> None:
+def _save_images(cfg, params, ds, args, eval_noise, outdir) -> None:
     import jax.numpy as jnp
 
     from ssdn_tpu.infer import denoise_image, make_denoise_fn
@@ -110,7 +139,7 @@ def _save_images(cfg, params, ds, args, eval_noise) -> None:
     noise = eval_noise or cfg.noise
     fn = make_denoise_fn(cfg)
     square = False  # model handles non-square natively (two-group rotation fold)
-    os.makedirs(args.save_images, exist_ok=True)
+    os.makedirs(outdir, exist_ok=True)
     for i in range(len(ds)):
         clean = to_internal(ds[i])
         key = jax.random.fold_in(jax.random.key(args.seed), i)
@@ -118,9 +147,9 @@ def _save_images(cfg, params, ds, args, eval_noise) -> None:
         y_np = np.asarray(y)[0]
         den = denoise_image(fn, params, y_np, _true_param(noise, injected),
                             square=square)
-        save_image(os.path.join(args.save_images, f"{i:03d}_noisy.png"), y_np)
-        save_image(os.path.join(args.save_images, f"{i:03d}_denoised.png"), den)
-        save_image(os.path.join(args.save_images, f"{i:03d}_clean.png"), clean)
+        save_image(os.path.join(outdir, f"{i:03d}_noisy.png"), y_np)
+        save_image(os.path.join(outdir, f"{i:03d}_denoised.png"), den)
+        save_image(os.path.join(outdir, f"{i:03d}_clean.png"), clean)
 
 
 if __name__ == "__main__":

@@ -295,8 +295,9 @@ class Trainer:
                 # align windows to log/eval/snapshot boundaries
                 for iv in (self.log_interval, cfg.eval_interval,
                            cfg.snapshot_interval):
-                    nxt = (step // iv + 1) * iv
-                    window_end = min(window_end, nxt)
+                    if iv > 0:  # interval <= 0 disables the hook
+                        nxt = (step // iv + 1) * iv
+                        window_end = min(window_end, nxt)
                 state, metrics = run_window(state, step, window_end)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss) or (
@@ -341,7 +342,7 @@ class Trainer:
                     guard_loss_ema = 0.9 * guard_loss_ema + 0.1 * loss
                 good_state = jax.tree.map(jnp.copy, state)
                 step = next_step = window_end
-                if next_step % self.log_interval == 0 or next_step == cfg.iterations:
+                if (self.log_interval > 0 and next_step % self.log_interval == 0) or next_step == cfg.iterations:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t0
                     m["patches_per_sec"] = (
@@ -354,10 +355,11 @@ class Trainer:
                         f"({m['patches_per_sec']:.1f} patches/s)",
                         flush=True,
                     )
-                if next_step % cfg.eval_interval == 0:
+                if cfg.eval_interval > 0 and next_step % cfg.eval_interval == 0:
                     self._eval(state, next_step)
                 if (
-                    next_step % cfg.snapshot_interval == 0
+                    (cfg.snapshot_interval > 0
+                     and next_step % cfg.snapshot_interval == 0)
                     or next_step == cfg.iterations
                 ):
                     self.ckpt.save(state)
