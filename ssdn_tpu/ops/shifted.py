@@ -185,6 +185,35 @@ def _collapse_upsample_kernel(w_up: jax.Array) -> jax.Array:
     return wc.reshape(a, b, ci, pr * pc * co)
 
 
+def _transposed_upsample_kernel(w_up: jax.Array) -> jax.Array:
+    """Remap the collapsed phase kernel into the (4, 6, Cin, Cout) kernel of
+    an equivalent stride-2 transposed conv (lhs_dilation=2, padding
+    ((3, 1), (3, 3))).
+
+    The transposed conv computes out[R, C] = sum_kh,kw
+    h_dilated[R - 3 + kh, C - 3 + kw] * Wt[kh, kw] with h at even positions;
+    writing R = 2r + pr recovers each phase's 2x2 collapsed window at
+    kh = 2a + 3 - ... : (pr=0, a) -> kh in {1, 3}; (pr=1, a) -> {0, 2};
+    (pc=0, b) -> kw in {1, 3, 5}; (pc=1, b) -> {0, 2, 4}. Distinct taps per
+    phase, so one dense kernel serves all four phases. XLA's TPU lowering
+    phase-decomposes lhs-dilated convs internally — measured faster than
+    materializing the depth-to-space interleave (no layout copies) and than
+    the literal upsample+concat path.
+    """
+    kc = _collapse_upsample_kernel(w_up)  # (2, 3, Ci, 4*Co), phases (pr,pc)
+    ci, co = w_up.shape[2], w_up.shape[3]
+    kc = kc.reshape(2, 3, ci, 2, 2, co)   # (a, b, Ci, pr, pc, Co)
+    rows = []
+    for kh in range(4):
+        pr, a = {0: (1, 0), 1: (0, 0), 2: (1, 1), 3: (0, 1)}[kh]
+        cols = []
+        for kw in range(6):
+            pc, b = (1, kw // 2) if kw % 2 == 0 else (0, kw // 2)
+            cols.append(kc[a, b, :, pr, pc, :])
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # (4, 6, Ci, Co)
+
+
 def shifted_upsample_concat_conv(
     h: jax.Array,
     skip: jax.Array,
@@ -209,11 +238,10 @@ def shifted_upsample_concat_conv(
     (SURVEY.md §2.4): ~0.67x the MACs at ~100% MXU lane fill for the
     dominant branch.
     """
-    n, hc, wc_, cup = h.shape
-    cout = w.shape[-1]
+    cup = h.shape[-1]
     w_up = w[:, :, :cup, :]
     w_skip = w[:, :, cup:, :]
-    wcoll = _collapse_upsample_kernel(w_up)
+    wt = _transposed_upsample_kernel(w_up)
 
     preferred = None
     prec = precision
@@ -230,19 +258,16 @@ def shifted_upsample_concat_conv(
     elif isinstance(prec, str):
         prec = None
 
-    coarse = lax.conv_general_dilated(
+    up_part = lax.conv_general_dilated(
         h,
-        wcoll.astype(h.dtype),
+        wt.astype(h.dtype),
         window_strides=(1, 1),
-        padding=((1, 0), (1, 1)),
+        padding=((3, 1), (3, 3)),
+        lhs_dilation=(2, 2),
         dimension_numbers=_DIMNUMS,
         preferred_element_type=preferred,
         precision=prec,
-    )  # (N, Hc, Wc, 4*Cout)
-    # depth-to-space: channel (pr, pc, co) -> pixel (2r+pr, 2c+pc, co)
-    coarse = coarse.reshape(n, hc, wc_, 2, 2, cout)
-    coarse = jnp.transpose(coarse, (0, 1, 3, 2, 4, 5))
-    up_part = coarse.reshape(n, 2 * hc, 2 * wc_, cout)
+    )  # (N, 2*Hc, 2*Wc, Cout), phases interleaved in place
 
     skip_part = conv2d(
         skip.astype(h.dtype), w_skip, None, shifted=True,

@@ -95,3 +95,50 @@ def test_full_model_pallas_backend_matches_lax():
     got = apply(params, x, compute_dtype=jnp.float32, conv_backend="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_mask_negative_zero_bf16():
+    """-0.0 outputs must take the slope gradient branch (ADVICE r1).
+
+    Scenario: pre-activation = -1.18e-38 (a normal fp32/bf16 value, so the
+    forward takes the slope branch), leaky output = -1.18e-39 — an fp32
+    subnormal that flush-to-zero turns into -0.0. A mask recovered with
+    `out >= 0` then takes the positive branch (g) while the true local
+    derivative is slope*g; signbit(-0.0) recovers the right branch."""
+    x = jnp.full((1, 4, 4, 1), 0.0, jnp.bfloat16)
+    x = x.at[0, 0, 0, 0].set(1.0)
+    w = jnp.zeros((3, 3, 1, 1), jnp.bfloat16)
+    # tap (2, 1) reads x[r, c] for out[r, c] under the causal-up pad
+    w = w.at[2, 1, 0, 0].set(-1.18e-38)  # bf16 min normal, negative
+    b = jnp.zeros((1,), jnp.bfloat16)
+
+    def f(xv):
+        out = fused_shifted_conv(xv, w, b, 0.1, None, True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    out = fused_shifted_conv(x, w, b, 0.1, None, True)
+    # confirm the scenario: the (0,0) output is a negative zero
+    assert np.signbit(np.asarray(out, np.float32))[0, 0, 0, 0]
+    g = jax.grad(f)(x)
+    ref = jax.grad(
+        lambda xv: jnp.sum(lax_reference(xv, w, b).astype(jnp.float32))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-45)
+
+
+def test_large_image_dispatches_to_lax():
+    """Per-program blocks beyond the VMEM budget take the lax path instead
+    of failing Mosaic compilation (ADVICE r1): same values, no error."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 512, 768, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 48, 96)) * 0.1, jnp.float32)
+    b = jnp.zeros((96,), jnp.float32)
+    from ssdn_tpu.ops.pallas.shifted_conv import _VMEM_BUDGET, _vmem_bytes
+
+    assert _vmem_bytes(512, 768, 48, 96, x.dtype, x.dtype) > _VMEM_BUDGET
+    got = shifted_conv3x3_bias_act(x, w, b)
+    ref = lax_reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -99,8 +99,8 @@ def _problem(w, h=32, seed=3):
 
 
 @pytest.fixture(scope="module")
-def wide():  # strip 384 >= HALO_EXACT: exercises ppermute-exchange mode
-    return _problem(8 * 384)
+def wide():  # strip 672 >= 2 * HALO_EXACT: exercises ppermute-exchange mode
+    return _problem(8 * 672)
 
 
 @pytest.fixture(scope="module")
@@ -109,7 +109,12 @@ def narrow():  # strip 64 < HALO_EXACT: exercises all_gather window mode
 
 
 def test_exchange_mode_exact(wide):
+    from ssdn_tpu.infer.tiled import choose_mode
+
     cfg, params, noisy, sigma, ref = wide
+    # confirm this problem actually dispatches to the single-program
+    # exchange path (strip 672, window 672 + 2*320)
+    assert choose_mode(HALO_EXACT, 672, 8 * 672) == "exchange"
     mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
     out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh,
                                 halo=HALO_EXACT)
