@@ -64,6 +64,47 @@ def bench_inference() -> None:
     )
 
 
+def bench_ab() -> None:
+    """A/B the conv backends on the bench training shape (VERDICT r1 item 3:
+    record both numbers). Run: python bench.py ab"""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+    from ssdn_tpu.train.step import init_state, make_train_step
+
+    batch = 128
+    out = {}
+    for backend in ("lax", "pallas"):
+        cfg = TrainConfig(
+            noise=parse_noise_style("gauss25"),
+            model=ModelConfig(in_channels=3, conv_backend=backend),
+            patch_size=64,
+            batch_size=batch,
+            iterations=10_000,
+        )
+        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+        state = init_state(cfg)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.integers(0, 256, (batch, 64, 64, 3),
+                                     dtype=np.uint8))
+        for _ in range(4):
+            state, m = step(state, b)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            state, m = step(state, b)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / 20
+        out[backend] = round(20 * batch / (20 * dt), 2)
+    print(json.dumps({
+        "metric": "ssdn_train_throughput_conv_backend_ab",
+        "value": out,
+        "unit": "patches/sec/chip per conv backend (64x64 RGB)",
+        "vs_baseline": round(max(out.values()) / REFERENCE_PATCHES_PER_SEC, 3),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -72,7 +113,7 @@ def main() -> None:
     from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
     from ssdn_tpu.train.step import init_state, make_train_step
 
-    batch = 128
+    batch = 384  # best patches/sec in the measured 8..512 sweep (round 2)
     cfg = TrainConfig(
         noise=parse_noise_style("gauss25"),
         model=ModelConfig(in_channels=3),  # production default numerics
@@ -119,5 +160,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "inference":
         bench_inference()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ab":
+        bench_ab()
     else:
         main()
