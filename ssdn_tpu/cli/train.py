@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's raw NLL")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-interval", type=int, default=10_000)
+    p.add_argument("--eval-patience", type=int, default=0,
+                   help="early-stop after N consecutive evals more than "
+                        "--eval-patience-delta dB below the best (0 = off); "
+                        "ckpt_best keeps the best state either way")
+    p.add_argument("--eval-patience-delta", type=float, default=1.0)
     p.add_argument("--snapshot-interval", type=int, default=10_000)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--compute-dtype", default="bfloat16",
@@ -103,6 +108,8 @@ def config_from_args(args) -> TrainConfig:
         nll_beta=args.nll_beta,
         seed=args.seed,
         eval_interval=args.eval_interval,
+        eval_patience=args.eval_patience,
+        eval_patience_delta=args.eval_patience_delta,
         snapshot_interval=args.snapshot_interval,
         grayscale=args.grayscale,
     )

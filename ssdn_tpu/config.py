@@ -168,6 +168,13 @@ class TrainConfig:
     guard_margin_k: float = 6.0      # spike threshold = k * EMA |deviation|
     guard_margin_floor: float = 0.05 # absolute floor before deviation stats exist
     guard_max_consecutive: int = 20  # rollbacks in a row before early-stop
+    # Eval-quality early stop (SURVEY.md §5.3): the NLL loss can stay
+    # healthy while eval PSNR decays (measured loss/eval disconnect on
+    # small corpora — README parity table). After eval_patience consecutive
+    # evals more than eval_patience_delta dB below the best seen, stop;
+    # ckpt_best already holds the best state. 0 disables.
+    eval_patience: int = 0
+    eval_patience_delta: float = 1.0
     seed: int = 0
     eval_interval: int = 10_000
     snapshot_interval: int = 10_000

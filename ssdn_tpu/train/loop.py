@@ -191,6 +191,7 @@ class Trainer:
         # best_psnr persists across preemption-resume so a post-restart eval
         # can't overwrite ckpt_best with a worse state (ADVICE r1).
         self._best_path = os.path.join(workdir, "best_psnr.json")
+        self.eval_bad_streak = 0
         self.best_psnr = float("-inf")
         if os.path.exists(self._best_path):
             with open(self._best_path) as f:
@@ -221,6 +222,11 @@ class Trainer:
             self.best_ckpt.save(state)
             with open(self._best_path, "w") as f:
                 json.dump({"psnr": self.best_psnr, "step": step}, f)
+        # eval-quality degradation streak (TrainConfig.eval_patience)
+        if res["psnr_mean"] < self.best_psnr - self.cfg.eval_patience_delta:
+            self.eval_bad_streak += 1
+        else:
+            self.eval_bad_streak = 0
         return res["psnr_mean"]
 
     def train(self, resume: bool = True) -> TrainState:
@@ -357,6 +363,18 @@ class Trainer:
                     )
                 if cfg.eval_interval > 0 and next_step % cfg.eval_interval == 0:
                     self._eval(state, next_step)
+                    if (
+                        cfg.eval_patience > 0
+                        and self.eval_bad_streak >= cfg.eval_patience
+                    ):
+                        print(
+                            f"[eval-patience @ {next_step}] {self.eval_bad_streak} "
+                            f"consecutive evals > {cfg.eval_patience_delta:g} dB "
+                            f"below the best ({self.best_psnr:.3f}) — early "
+                            "stop; ckpt_best holds the best state",
+                            flush=True,
+                        )
+                        break
                 if (
                     (cfg.snapshot_interval > 0
                      and next_step % cfg.snapshot_interval == 0)
