@@ -41,8 +41,10 @@ def bench_inference() -> None:
     params = init_params(jax.random.key(0), 3, 9)
     fn = make_denoise_fn(cfg)
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 512, 768, 3)), jnp.float32)
-    sigma = jnp.full((1,), 25 / 255, jnp.float32)
+    B = 8  # same-shaped eval images batched per forward (evaluate_dataset
+    # eval_batch); measured 9.1 -> 20.1 MP/s over batch 1 (round 2)
+    y = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 512, 768, 3)), jnp.float32)
+    sigma = jnp.full((B,), 25 / 255, jnp.float32)
     out = fn(params, y, sigma)
     float(out.ravel()[0])
     n = 20
@@ -51,7 +53,7 @@ def bench_inference() -> None:
         out = fn(params, y, sigma)
     float(out.ravel()[0])
     dt = time.perf_counter() - t0
-    mps = n * (512 * 768) / dt / 1e6
+    mps = n * B * (512 * 768) / dt / 1e6
     print(
         json.dumps(
             {

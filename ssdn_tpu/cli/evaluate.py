@@ -52,6 +52,9 @@ def main(argv=None) -> None:
     p.add_argument("--halo", type=int, default=320,
                    help="tile overlap in px; >= 320 is exact (see infer/tiled.py)")
     p.add_argument("--tile-w", type=int, default=512)
+    p.add_argument("--eval-batch", type=int, default=1,
+                   help="batch same-shaped images per forward (mode 'full'; "
+                        "identical per-image math, higher throughput)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.workdir)
@@ -77,6 +80,7 @@ def main(argv=None) -> None:
         res = evaluate_dataset(
             cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
             mode=args.tiled, mesh=mesh, halo=args.halo, tile_w=args.tile_w,
+            eval_batch=args.eval_batch,
         )
         results[name] = res
         print(f"\ndataset: {name} ({res['n_images']} images)")

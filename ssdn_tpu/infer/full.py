@@ -101,51 +101,83 @@ def evaluate_dataset(
     halo: int = 320,
     tile_w: int = 512,
     return_images: int = 0,
+    eval_batch: int = 1,
 ) -> Dict:
     """Reference evaluate.py flow over a dataset: returns mean/per-image
     PSNR of the denoised estimates plus the noisy-input baseline PSNR.
 
     mode: "full" (whole image at once), "sharded" (tiled over a device
     mesh with halo exchange, [B] config 5) or "sequential" (overlap tiles
-    looped on one device)."""
+    looped on one device).
+
+    eval_batch > 1 (mode "full" only) groups same-shaped images into one
+    forward — identical per-image math (every op is batch-independent and
+    the noise key is per-image), but a single full-image forward is
+    latency-bound on TPU so batching raises eval throughput."""
     noise = eval_noise or cfg.noise
     denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
-    psnrs: List[float] = []
-    noisy_psnrs: List[float] = []
-    images = []
-    for i in range(len(dataset)):
-        clean_u8 = dataset[i]
-        clean = to_internal(clean_u8)
+    n = len(dataset)
+    psnrs: List[Optional[float]] = [None] * n
+    noisy_psnrs: List[Optional[float]] = [None] * n
+    images: Dict[int, Dict] = {}
+
+    def handle_one(i, clean, y_np, den):
+        psnrs[i] = psnr(den, clean)
+        noisy_psnrs[i] = psnr(y_np, clean)
+        if i < return_images:
+            images[i] = {"noisy": y_np, "denoised": den, "clean": clean}
+
+    def noisy_for(i, clean):
         key = jax.random.fold_in(jax.random.key(seed), i)
         y, injected = add_noise(key, jnp.asarray(clean)[None], noise)
-        y_np = np.asarray(y)[0]
-        # KNOWN: the true injected parameter feeds the estimator; BLIND: the
-        # estimator reads the network's own estimate and ignores this value
-        param = _true_param(noise, injected)
-        if mode == "full":
-            den = denoise_image(denoise_fn, params, y_np, param)
-        elif mode == "sharded":
-            from ssdn_tpu.infer.tiled import tiled_denoise_sharded
+        # KNOWN: the true injected parameter feeds the estimator; BLIND:
+        # the estimator reads its own estimate and ignores this value
+        return np.asarray(y)[0], _true_param(noise, injected)
 
-            den = tiled_denoise_sharded(cfg, params, y_np, param, mesh,
-                                        halo=halo)
-        elif mode == "sequential":
-            from ssdn_tpu.infer.tiled import tiled_denoise_sequential
+    if mode == "full" and eval_batch > 1:
+        by_shape: Dict[tuple, List[int]] = {}
+        cleans = {}
+        for i in range(n):
+            cleans[i] = to_internal(dataset[i])
+            by_shape.setdefault(cleans[i].shape, []).append(i)
+        for idxs in by_shape.values():
+            for lo in range(0, len(idxs), eval_batch):
+                chunk = idxs[lo:lo + eval_batch]
+                ys, ps = zip(*(noisy_for(i, cleans[i]) for i in chunk))
+                padded = [
+                    pad_to_multiple(y, blindspot_unet.STRIDE) for y in ys
+                ]
+                batch = jnp.asarray(np.stack([p[0] for p in padded]))
+                pvec = jnp.concatenate([jnp.asarray(p).reshape(-1) for p in ps])
+                out = np.asarray(denoise_fn(params, batch, pvec))
+                for k, i in enumerate(chunk):
+                    h, w = padded[k][1]
+                    handle_one(i, cleans[i], ys[k], out[k, :h, :w])
+    else:
+        for i in range(n):
+            clean = to_internal(dataset[i])
+            y_np, param = noisy_for(i, clean)
+            if mode == "full":
+                den = denoise_image(denoise_fn, params, y_np, param)
+            elif mode == "sharded":
+                from ssdn_tpu.infer.tiled import tiled_denoise_sharded
 
-            den = tiled_denoise_sequential(cfg, params, y_np, param,
-                                           tile_w=tile_w, halo=halo)
-        else:
-            raise ValueError(mode)
-        psnrs.append(psnr(den, clean))
-        noisy_psnrs.append(psnr(y_np, clean))
-        if i < return_images:
-            images.append({"noisy": y_np, "denoised": den, "clean": clean})
+                den = tiled_denoise_sharded(cfg, params, y_np, param, mesh,
+                                            halo=halo)
+            elif mode == "sequential":
+                from ssdn_tpu.infer.tiled import tiled_denoise_sequential
+
+                den = tiled_denoise_sequential(cfg, params, y_np, param,
+                                               tile_w=tile_w, halo=halo)
+            else:
+                raise ValueError(mode)
+            handle_one(i, clean, y_np, den)
     out = {
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_per_image": psnrs,
         "noisy_psnr_mean": float(np.mean(noisy_psnrs)),
-        "n_images": len(dataset),
+        "n_images": n,
     }
     if return_images:
-        out["images"] = images
+        out["images"] = [images[i] for i in sorted(images)]
     return out

@@ -59,3 +59,23 @@ def test_single_dataset_json_backward_compatible(workdir, tmp_path):
     payload = json.loads(out.read_text())
     # single-dataset payload keeps the flat round-1 schema
     assert "psnr_mean" in payload and "psnr_per_image" in payload
+
+
+def test_batched_eval_matches_per_image(workdir):
+    """eval_batch > 1 groups same-shaped images into one forward; per-image
+    math is identical, so PSNRs must match the unbatched path closely."""
+    import numpy as np
+
+    from ssdn_tpu.data import open_dataset
+    from ssdn_tpu.infer import evaluate_dataset
+    from ssdn_tpu.train.loop import load_config
+    from ssdn_tpu.train.step import init_state
+
+    cfg = load_config(str(workdir))
+    params = init_state(cfg).params
+    ds = open_dataset("synthetic:5:64")
+    a = evaluate_dataset(cfg, params, ds, eval_batch=1)
+    b = evaluate_dataset(cfg, params, ds, eval_batch=3)
+    np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
+                               atol=1e-3)
+    assert b["n_images"] == 5
