@@ -202,7 +202,8 @@ class Trainer:
         if self.eval_dataset is None:
             return None
         res = evaluate_dataset(
-            self.cfg, state.params, self.eval_dataset, return_images=2
+            self.cfg, state.params, self.eval_dataset, return_images=2,
+            eval_batch=4,  # same-shaped eval sets batch per forward
         )
         self.logger.log(
             step,
