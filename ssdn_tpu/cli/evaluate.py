@@ -55,6 +55,9 @@ def main(argv=None) -> None:
     p.add_argument("--eval-batch", type=int, default=1,
                    help="batch same-shaped images per forward (mode 'full'; "
                         "identical per-image math, higher throughput)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="with --eval-batch > 1: shard the image batch over "
+                        "all devices (each chip denoises different images)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.workdir)
@@ -71,6 +74,10 @@ def main(argv=None) -> None:
         from ssdn_tpu import parallel
 
         mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)
+    elif args.data_parallel and args.eval_batch > 1:
+        from ssdn_tpu import parallel
+
+        mesh = parallel.make_mesh()
 
     print(f"checkpoint step: {int(state.step)}")
     print(f"noise:   {(eval_noise or cfg.noise).describe()}")

@@ -108,11 +108,19 @@ def _noise_variance(
         if cfg.value == NoiseValue.BLIND:
             sigma = estimate_sigma(noise_ch)  # (B,)
         else:
-            sigma = noise_params["sigma"]  # (B,) internal units
+            # scalar (training injector, shared value) or (B,) (batched
+            # eval: one value per image) — internal [0,1] units either way
+            sigma = jnp.asarray(noise_params["sigma"], jnp.float32)
+            if sigma.ndim == 0:
+                sigma = jnp.broadcast_to(sigma[None], (mu.shape[0],))
         var = (sigma ** 2)[:, None, None, None]
         return jnp.broadcast_to(var, mu.shape).astype(jnp.float32), sigma
     if cfg.model == NoiseModel.POISSON:
-        lam = noise_params["lam"]
+        # scalar or (B,): reshape per-image values to broadcast over
+        # (B,H,W,C) — a bare (B,) would line up with channels instead
+        lam = jnp.asarray(noise_params["lam"], jnp.float32)
+        if lam.ndim == 1:
+            lam = lam[:, None, None, None]
         var = jnp.maximum(mu + 0.5, 1e-3) / lam
         return var.astype(jnp.float32), None
     raise ValueError(f"no Gaussian-family variance for {cfg.model}")

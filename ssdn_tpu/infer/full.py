@@ -113,7 +113,10 @@ def evaluate_dataset(
     eval_batch > 1 (mode "full" only) groups same-shaped images into one
     forward — identical per-image math (every op is batch-independent and
     the noise key is per-image), but a single full-image forward is
-    latency-bound on TPU so batching raises eval throughput."""
+    latency-bound on TPU so batching raises eval throughput. With a mesh,
+    the batch additionally shards over the data axis (data-parallel eval:
+    each chip denoises different images; GSPMD partitions the same jitted
+    program from the input sharding alone)."""
     noise = eval_noise or cfg.noise
     denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
     n = len(dataset)
@@ -135,6 +138,11 @@ def evaluate_dataset(
         return np.asarray(y)[0], _true_param(noise, injected)
 
     if mode == "full" and eval_batch > 1:
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if mesh is not None:
+            from ssdn_tpu import parallel
+
+            params = jax.device_put(params, parallel.replicated(mesh))
         by_shape: Dict[tuple, List[int]] = {}
         cleans = {}
         for i in range(n):
@@ -147,8 +155,20 @@ def evaluate_dataset(
                 padded = [
                     pad_to_multiple(y, blindspot_unet.STRIDE) for y in ys
                 ]
-                batch = jnp.asarray(np.stack([p[0] for p in padded]))
-                pvec = jnp.concatenate([jnp.asarray(p).reshape(-1) for p in ps])
+                stack = [p[0] for p in padded]
+                pv = [np.asarray(p).reshape(-1) for p in ps]
+                # pad the chunk to a device multiple (duplicates dropped)
+                while len(stack) % n_dev:
+                    stack.append(stack[-1])
+                    pv.append(pv[-1])
+                batch = jnp.asarray(np.stack(stack))
+                pvec = jnp.asarray(np.concatenate(pv))
+                if mesh is not None:
+                    from ssdn_tpu import parallel
+
+                    sh = parallel.batch_sharded(mesh, mesh.axis_names[0])
+                    batch = jax.device_put(batch, sh)
+                    pvec = jax.device_put(pvec, sh)
                 out = np.asarray(denoise_fn(params, batch, pvec))
                 for k, i in enumerate(chunk):
                     h, w = padded[k][1]

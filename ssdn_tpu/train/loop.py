@@ -388,5 +388,10 @@ class Trainer:
                 self.ckpt.save(state)
         finally:
             self.ckpt.mgr.wait_until_finished()
+            # the best-PSNR manager saves asynchronously too; an unawaited
+            # save at process exit schedules futures during interpreter
+            # shutdown (observed flaky RuntimeError in the graded-config
+            # smokes when the FINAL eval improved the best)
+            self.best_ckpt.mgr.wait_until_finished()
             self.logger.close()
         return state

@@ -79,3 +79,53 @@ def test_batched_eval_matches_per_image(workdir):
     np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
                                atol=1e-3)
     assert b["n_images"] == 5
+
+
+def test_data_parallel_eval_matches_serial(workdir):
+    """DP eval: the image batch shards over the 8-device virtual mesh; each
+    device denoises different images. Results must match serial eval."""
+    import jax
+    import numpy as np
+
+    from ssdn_tpu import parallel
+    from ssdn_tpu.data import open_dataset
+    from ssdn_tpu.infer import evaluate_dataset
+    from ssdn_tpu.train.loop import load_config
+    from ssdn_tpu.train.step import init_state
+
+    cfg = load_config(str(workdir))
+    params = init_state(cfg).params
+    ds = open_dataset("synthetic:10:64")
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    a = evaluate_dataset(cfg, params, ds, eval_batch=1)
+    b = evaluate_dataset(cfg, params, ds, eval_batch=8, mesh=mesh)
+    np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
+                               atol=1e-3)
+
+
+def test_batched_eval_poisson_and_impulse():
+    """Regression: per-image (B,) noise-parameter vectors must broadcast as
+    batch, not channels, in the Poisson/impulse estimators (found by the
+    graded-config smoke: (4,) lam vs (4,H,W,3) raised; (1,) silently
+    broadcast against channels)."""
+    import numpy as np
+
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+    from ssdn_tpu.data import open_dataset
+    from ssdn_tpu.infer import evaluate_dataset
+    from ssdn_tpu.train.step import init_state
+
+    ds = open_dataset("synthetic:4:64")
+    for style in ("poisson30", "impulse50"):
+        cfg = TrainConfig(
+            noise=parse_noise_style(style),
+            model=ModelConfig(in_channels=3, enc_features=8, dec_features=16,
+                              nin_a_features=32, nin_b_features=16,
+                              compute_dtype="float32"),
+            patch_size=32, batch_size=2, iterations=4,
+        )
+        params = init_state(cfg).params
+        a = evaluate_dataset(cfg, params, ds, eval_batch=1)
+        b = evaluate_dataset(cfg, params, ds, eval_batch=4)
+        np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
+                                   atol=1e-3, err_msg=style)
