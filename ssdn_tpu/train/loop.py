@@ -327,6 +327,35 @@ class Trainer:
                     )
                     step = window_end
                     guard_streak += 1
+                    # Escalation (measured necessity: in the round-2 10k-step
+                    # run every restore-and-skip re-spiked — the 50-step-old
+                    # snapshot was already inside the unstable basin): halfway
+                    # to the early-stop limit, rewind the WEIGHTS to the
+                    # best-by-eval-PSNR checkpoint while keeping the current
+                    # step counter, so training resumes from a known-good
+                    # basin on fresh data.
+                    if (
+                        guard_streak == max(guard_max_consecutive // 2, 1)
+                        and self.best_ckpt.latest_step() is not None
+                    ):
+                        print(
+                            f"[guard @ {window_end}] {guard_streak} consecutive "
+                            "rollbacks — rewinding weights to ckpt_best "
+                            "(step counter keeps advancing)",
+                            flush=True,
+                        )
+                        best = self.best_ckpt.restore(init_state(cfg))
+                        if self.mesh is not None:
+                            best = jax.device_put(
+                                best, parallel.replicated(self.mesh)
+                            )
+                        state = best.replace(
+                            step=jnp.asarray(window_end, jnp.int32)
+                        )
+                        good_state = jax.tree.map(jnp.copy, state)
+                        # keep the loss EMA/deviation stats: they describe
+                        # the healthy basin being rewound to, so continued
+                        # spiking still counts toward the early-stop limit
                     if guard_streak >= guard_max_consecutive:
                         print(
                             f"[guard] {guard_streak} consecutive rollbacks — "

@@ -131,3 +131,50 @@ def test_sampler_backend_pinned_across_restart(tmp_path):
         "native" if isinstance(tr2.sampler, NativePatchSampler) else "python"
     )
     assert resolved == recorded
+
+
+def test_guard_rewinds_to_best_on_sustained_rollbacks(tmp_path, capsys):
+    """Escalation (round-2 10k-step run: restore-and-skip re-spiked every
+    window because the 50-step-old snapshot was already unstable): at
+    guard_max_consecutive//2 consecutive rollbacks the trainer rewinds the
+    weights to ckpt_best, keeping the step counter, and re-seeds the loss
+    stats; sustained spiking still early-stops at the full limit."""
+    import numpy as np
+
+    from ssdn_tpu.train.step import init_state
+
+    cfg = dataclasses.replace(
+        guard_cfg(guard_max_consecutive=4), iterations=40
+    )
+    tr = Trainer(cfg, str(tmp_path / "resc"), train_data="synthetic:6:64",
+                 log_interval=1000)
+    # plant a recognizable best checkpoint
+    best = init_state(cfg)
+    marker = jnp.full_like(best.params["enc0"]["b"], 0.123)
+    best = best.replace(
+        params={**best.params,
+                "enc0": {**best.params["enc0"], "b": marker}},
+        step=jnp.asarray(6, jnp.int32),
+    )
+    tr.best_ckpt.save(best, wait=True)
+
+    captured = {}
+    real = tr.step_fn
+    window = {"i": -1}
+    losses = [-2.0, -2.0, -2.0, 5.0]  # stable, then spike forever
+
+    def scripted(state, batch):
+        state, m = real(state, batch)
+        window["i"] += 1
+        per = max(cfg.guard_check, 1)
+        val = losses[min(window["i"] // per, len(losses) - 1)]
+        captured["enc0_b"] = np.asarray(state.params["enc0"]["b"])
+        return state, {**m, "loss": jnp.asarray(val, jnp.float32)}
+
+    tr.step_fn = scripted
+    state = tr.train(resume=False)
+    out = capsys.readouterr().out
+    assert "rewinding weights to ckpt_best" in out
+    assert "early-stopping" in out
+    # the windows after the rewind trained FROM the planted best params
+    np.testing.assert_allclose(captured["enc0_b"], 0.123, atol=0.05)
