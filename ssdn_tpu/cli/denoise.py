@@ -26,7 +26,7 @@ import os
 import numpy as np
 
 from ssdn_tpu.config import NoiseModel
-from ssdn_tpu.train.loop import CheckpointManager, load_config
+from ssdn_tpu.train.loop import load_config
 from ssdn_tpu.train.step import init_state
 
 

@@ -74,10 +74,18 @@ def main(argv=None) -> None:
         from ssdn_tpu import parallel
 
         mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)
-    elif args.data_parallel and args.eval_batch > 1:
+    elif args.data_parallel:
+        import jax
+
         from ssdn_tpu import parallel
 
         mesh = parallel.make_mesh()
+        if args.eval_batch <= 1:
+            # DP eval needs a multi-image batch to shard; default to one
+            # image per device rather than silently doing nothing
+            args.eval_batch = len(jax.devices())
+            print(f"[data-parallel] eval batch -> {args.eval_batch} "
+                  "(one image per device)")
 
     print(f"checkpoint step: {int(state.step)}")
     print(f"noise:   {(eval_noise or cfg.noise).describe()}")

@@ -143,36 +143,43 @@ def evaluate_dataset(
             from ssdn_tpu import parallel
 
             params = jax.device_put(params, parallel.replicated(mesh))
-        by_shape: Dict[tuple, List[int]] = {}
-        cleans = {}
-        for i in range(n):
-            cleans[i] = to_internal(dataset[i])
-            by_shape.setdefault(cleans[i].shape, []).append(i)
-        for idxs in by_shape.values():
-            for lo in range(0, len(idxs), eval_batch):
-                chunk = idxs[lo:lo + eval_batch]
-                ys, ps = zip(*(noisy_for(i, cleans[i]) for i in chunk))
-                padded = [
-                    pad_to_multiple(y, blindspot_unet.STRIDE) for y in ys
-                ]
-                stack = [p[0] for p in padded]
-                pv = [np.asarray(p).reshape(-1) for p in ps]
-                # pad the chunk to a device multiple (duplicates dropped)
-                while len(stack) % n_dev:
-                    stack.append(stack[-1])
-                    pv.append(pv[-1])
-                batch = jnp.asarray(np.stack(stack))
-                pvec = jnp.asarray(np.concatenate(pv))
-                if mesh is not None:
-                    from ssdn_tpu import parallel
 
-                    sh = parallel.batch_sharded(mesh, mesh.axis_names[0])
-                    batch = jax.device_put(batch, sh)
-                    pvec = jax.device_put(pvec, sh)
-                out = np.asarray(denoise_fn(params, batch, pvec))
-                for k, i in enumerate(chunk):
-                    h, w = padded[k][1]
-                    handle_one(i, cleans[i], ys[k], out[k, :h, :w])
+        def flush(chunk):
+            """chunk: list of (i, clean); one batched forward."""
+            ys, ps = zip(*(noisy_for(i, c) for i, c in chunk))
+            padded = [pad_to_multiple(y, blindspot_unet.STRIDE) for y in ys]
+            stack = [p[0] for p in padded]
+            pv = [np.asarray(p).reshape(-1) for p in ps]
+            # pad the chunk to a device multiple (duplicates dropped)
+            while len(stack) % n_dev:
+                stack.append(stack[-1])
+                pv.append(pv[-1])
+            batch = jnp.asarray(np.stack(stack))
+            pvec = jnp.asarray(np.concatenate(pv))
+            if mesh is not None:
+                from ssdn_tpu import parallel
+
+                sh = parallel.batch_sharded(mesh, mesh.axis_names[0])
+                batch = jax.device_put(batch, sh)
+                pvec = jax.device_put(pvec, sh)
+            out = np.asarray(denoise_fn(params, batch, pvec))
+            for k, (i, clean) in enumerate(chunk):
+                h, w = padded[k][1]
+                handle_one(i, clean, ys[k], out[k, :h, :w])
+
+        # stream the dataset: buffer per shape, flush full chunks — host
+        # memory stays O(#shapes * eval_batch images), not O(dataset)
+        pending: Dict[tuple, list] = {}
+        for i in range(n):
+            clean = to_internal(dataset[i])
+            buf = pending.setdefault(clean.shape, [])
+            buf.append((i, clean))
+            if len(buf) == eval_batch:
+                flush(buf)
+                buf.clear()
+        for buf in pending.values():
+            if buf:
+                flush(buf)
     else:
         for i in range(n):
             clean = to_internal(dataset[i])

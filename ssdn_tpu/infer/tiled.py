@@ -14,17 +14,17 @@ direction, pools add more. HALO_EXACT = 320 columns makes tiled == untiled
 to fp32 noise; smaller halos give the approximate overlap-tile mode
 (SURVEY.md §5.7 option (b)).
 
-Two sharded strategies, chosen automatically:
+Two sharded strategies, chosen by ``choose_mode`` (both exact, both a
+single jitted program — no host-side fix-up):
 
-  * exchange (halo <= strip width): single-hop `lax.ppermute` moves edge
-    strips between ring neighbors over ICI. Image-boundary strips are then
-    recomputed on true asymmetric windows — zero-filled halos are NOT
-    equivalent to the untiled conv's recursive per-level zero padding
-    (bias + nonlinearity give padding regions nonzero features).
-  * gather (halo > strip width): `lax.all_gather` over the tile axis, then
-    each device computes a fixed-size window CLAMPED inside the image
-    (boundary windows slide inward instead of zero-filling), which keeps
-    per-level conv padding at the true image edge — exact with no fix-up.
+  * exchange (2*halo <= strip): one-hop `lax.ppermute` moves neighbor
+    context between ring devices over ICI; every device evaluates a
+    constant-width clamped window, and the two image-boundary devices
+    slide their windows INSIDE the image (fed by a second one-hop
+    message), so per-level conv zero padding lands at the true image edge.
+  * gather (2*halo > strip, or the window spans the image): `lax.all_gather`
+    over the tile axis, then each device computes its clamped window from
+    the full image.
 
 A sequential single-device mode shares the clamped-window math to bound
 peak memory on huge images. Strip widths, halos, and window starts are all

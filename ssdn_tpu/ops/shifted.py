@@ -42,6 +42,23 @@ def shift_down(x: jax.Array, rows: int = 1) -> jax.Array:
     return jnp.pad(x, pad)[:, : x.shape[1], :, :]
 
 
+def _resolve_precision(dtype, precision):
+    """fp32 inputs pin true-fp32 conv math (XLA's default silently
+    downgrades fp32 convs to bf16-class); precision tiers only apply to
+    fp32. Returns (preferred_element_type, lax.Precision)."""
+    if dtype == jnp.float32:
+        if precision is None:
+            precision = lax.Precision.HIGHEST
+        elif isinstance(precision, str):
+            precision = {
+                "default": lax.Precision.DEFAULT,
+                "high": lax.Precision.HIGH,
+                "highest": lax.Precision.HIGHEST,
+            }[precision]
+        return jnp.float32, precision
+    return None, None if isinstance(precision, str) else precision
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -66,19 +83,7 @@ def conv2d(
     instead breaks autodiff (the transposed conv in the VJP then mixes
     bf16 weights with fp32 cotangents).
     """
-    preferred = None
-    if x.dtype == jnp.float32:
-        preferred = jnp.float32
-        if precision is None:
-            precision = lax.Precision.HIGHEST
-        elif isinstance(precision, str):
-            precision = {
-                "default": lax.Precision.DEFAULT,
-                "high": lax.Precision.HIGH,
-                "highest": lax.Precision.HIGHEST,
-            }[precision]
-    elif isinstance(precision, str):
-        precision = None  # precision tiers only apply to fp32 inputs
+    preferred, precision = _resolve_precision(x.dtype, precision)
     kh, kw = w.shape[0], w.shape[1]
     if shifted:
         hpad = (kh - 1, 0)
@@ -243,20 +248,7 @@ def shifted_upsample_concat_conv(
     w_skip = w[:, :, cup:, :]
     wt = _transposed_upsample_kernel(w_up)
 
-    preferred = None
-    prec = precision
-    if h.dtype == jnp.float32:
-        preferred = jnp.float32
-        if prec is None:
-            prec = lax.Precision.HIGHEST
-        elif isinstance(prec, str):
-            prec = {
-                "default": lax.Precision.DEFAULT,
-                "high": lax.Precision.HIGH,
-                "highest": lax.Precision.HIGHEST,
-            }[prec]
-    elif isinstance(prec, str):
-        prec = None
+    preferred, prec = _resolve_precision(h.dtype, precision)
 
     up_part = lax.conv_general_dilated(
         h,

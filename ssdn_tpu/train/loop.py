@@ -236,6 +236,23 @@ class Trainer:
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             print(f"resumed from step {int(state.step)}", flush=True)
+        elif not resume:
+            # fresh run in a reused workdir: a stale best_psnr.json /
+            # ckpt_best from the previous run would falsely trip
+            # eval-patience and feed old weights to the guard escalation
+            if self.best_psnr != float("-inf"):
+                print(
+                    f"[fresh run] discarding stale best (psnr "
+                    f"{self.best_psnr:.3f}) from a previous run in this "
+                    "workdir",
+                    flush=True,
+                )
+                self.best_psnr = float("-inf")
+                self.eval_bad_streak = 0
+                if os.path.exists(self._best_path):
+                    os.remove(self._best_path)
+            for s_ in list(self.best_ckpt.mgr.all_steps()):
+                self.best_ckpt.mgr.delete(s_)
         if self.mesh is not None:
             state = jax.device_put(state, parallel.replicated(self.mesh))
         start = int(state.step)
@@ -256,7 +273,13 @@ class Trainer:
         # deviation — so the same knobs fit NLL (negative, noise-model-
         # dependent scale) and MSE (~1e-2 scale) pipelines.
         guard_on = cfg.guard_check > 0
-        guard_check = cfg.guard_check if guard_on else self.log_interval
+        # window length when the guard is off: the log cadence, with a
+        # positive floor — guard_check=0 + log_interval=0 must not create
+        # zero-length windows (metrics=None crash)
+        guard_check = (
+            cfg.guard_check if guard_on
+            else (self.log_interval if self.log_interval > 0 else 100)
+        )
         guard_max_consecutive = cfg.guard_max_consecutive
         guard_loss_ema = None
         guard_dev_ema = None  # EMA of |loss - ema|; sets the relative margin
@@ -344,6 +367,10 @@ class Trainer:
                             "(step counter keeps advancing)",
                             flush=True,
                         )
+                        # await any in-flight async best-save first:
+                        # max_to_keep=1 garbage-collects the old step during
+                        # finalize, which could race the restore
+                        self.best_ckpt.mgr.wait_until_finished()
                         best = self.best_ckpt.restore(init_state(cfg))
                         if self.mesh is not None:
                             best = jax.device_put(

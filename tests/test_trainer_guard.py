@@ -156,8 +156,6 @@ def test_guard_rewinds_to_best_on_sustained_rollbacks(tmp_path, capsys):
                 "enc0": {**best.params["enc0"], "b": marker}},
         step=jnp.asarray(6, jnp.int32),
     )
-    tr.best_ckpt.save(best, wait=True)
-
     captured = {}
     real = tr.step_fn
     window = {"i": -1}
@@ -166,6 +164,10 @@ def test_guard_rewinds_to_best_on_sustained_rollbacks(tmp_path, capsys):
     def scripted(state, batch):
         state, m = real(state, batch)
         window["i"] += 1
+        if window["i"] == 0:
+            # plant the best DURING the run (as _eval would): train() on a
+            # fresh start rightly clears any pre-existing ckpt_best
+            tr.best_ckpt.save(best, wait=True)
         per = max(cfg.guard_check, 1)
         val = losses[min(window["i"] // per, len(losses) - 1)]
         captured["enc0_b"] = np.asarray(state.params["enc0"]["b"])
@@ -178,3 +180,36 @@ def test_guard_rewinds_to_best_on_sustained_rollbacks(tmp_path, capsys):
     assert "early-stopping" in out
     # the windows after the rewind trained FROM the planted best params
     np.testing.assert_allclose(captured["enc0_b"], 0.123, atol=0.05)
+
+
+def test_all_intervals_disabled_still_trains(tmp_path):
+    """guard_check=0 + log_interval=0 must not create zero-length windows
+    (round-2 review finding: metrics=None crash before the first step)."""
+    cfg = guard_cfg(guard_check=0)
+    tr = Trainer(cfg, str(tmp_path / "nolog"), train_data="synthetic:6:64",
+                 log_interval=0)
+    state = tr.train(resume=False)
+    assert int(state.step) == cfg.iterations
+
+
+def test_fresh_run_discards_stale_best(tmp_path, capsys):
+    """resume=False in a reused workdir clears best_psnr.json and ckpt_best
+    so eval-patience / guard escalation can't act on a previous run's
+    state (round-2 review finding)."""
+    from ssdn_tpu.train.step import init_state
+
+    cfg = guard_cfg()
+    wd = str(tmp_path / "stale")
+    tr = Trainer(cfg, wd, train_data="synthetic:6:64", log_interval=1000)
+    tr.best_ckpt.save(init_state(cfg).replace(
+        step=jnp.asarray(4, jnp.int32)), wait=True)
+    with open(os.path.join(wd, "best_psnr.json"), "w") as f:
+        json.dump({"psnr": 55.0, "step": 4}, f)
+    tr2 = Trainer(cfg, wd, train_data="synthetic:6:64", log_interval=1000)
+    assert tr2.best_psnr == 55.0  # loaded (resume case would keep it)
+    tr2.train(resume=False)
+    out = capsys.readouterr().out
+    assert "discarding stale best" in out
+    assert tr2.best_psnr != 55.0
+    assert tr2.best_ckpt.latest_step() is None or \
+        not os.path.exists(os.path.join(wd, "best_psnr.json"))
