@@ -118,8 +118,15 @@ def main(argv=None) -> None:
 
             den = tiled_denoise_sharded(cfg, state.params, noisy, param,
                                         mesh, halo=args.halo)
-        stem, _ = os.path.splitext(os.path.basename(path))
+        stem, ext = os.path.splitext(os.path.basename(path))
         out_path = os.path.join(args.output, f"{stem}{args.suffix}.png")
+        if os.path.exists(out_path):
+            # img.png and img.jpg in one input folder must not overwrite
+            # each other's output (ADVICE r2): uniquify with the original
+            # extension
+            out_path = os.path.join(
+                args.output, f"{stem}_{ext.lstrip('.')}{args.suffix}.png"
+            )
         save_image(out_path, den)
         print(f"  {path} -> {out_path} ({den.shape[1]}x{den.shape[0]})")
 

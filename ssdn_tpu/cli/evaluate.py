@@ -104,9 +104,14 @@ def main(argv=None) -> None:
         print(f"noisy PSNR mean:    {res['noisy_psnr_mean']:7.3f} dB")
         print(f"denoised PSNR mean: {res['psnr_mean']:7.3f} dB")
         if args.save_images:
+            # index prefix disambiguates datasets sharing a basename
+            # (/a/kodak vs /b/kodak would otherwise overwrite each other)
+            idx = datasets.index(name)
             subdir = (args.save_images if len(datasets) == 1 else
-                      os.path.join(args.save_images,
-                                   os.path.basename(name.replace(":", "_"))))
+                      os.path.join(
+                          args.save_images,
+                          f"{idx:02d}_"
+                          f"{os.path.basename(name.replace(':', '_'))}"))
             _save_images(cfg, state.params, ds, args, eval_noise, subdir)
 
     # the reference's eval artifact is a PSNR *table* over the eval sets

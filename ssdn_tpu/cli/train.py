@@ -52,10 +52,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off)")
+    p.add_argument("--objective", default="stabilized",
+                   choices=["stabilized", "reference"],
+                   help="'stabilized' (default): Huberized residuals, soft "
+                        "output bounds, beta-NLL, Adam eps 1e-3 — the "
+                        "production numerics with identical per-pixel "
+                        "optima. 'reference': the reference repo's exact "
+                        "objective — raw NLL, unbounded outputs, beta=0, "
+                        "Adam eps 1e-8, fp32/HIGHEST (forces those knobs)")
     p.add_argument("--nll-beta", type=float, default=1.0,
                    help="beta-NLL pixel weight exponent; 1.0 = stable "
-                        "default with identical per-pixel optima, 0.0 = "
-                        "the reference's raw NLL")
+                        "default with identical per-pixel optima "
+                        "(--objective reference forces 0)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-interval", type=int, default=10_000)
     p.add_argument("--eval-patience", type=int, default=0,
@@ -68,8 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="bfloat16 is the fast stable default with "
-                        "--nll-beta 1; float32 + --conv-precision highest "
-                        "reproduces the reference's numerics exactly")
+                        "--nll-beta 1; for the reference repo's exact "
+                        "numerics use --objective reference (which forces "
+                        "float32/HIGHEST)")
     p.add_argument("--conv-precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
@@ -100,6 +109,7 @@ def config_from_args(args) -> TrainConfig:
             conv_precision=args.conv_precision,
             decoder_mode=args.decoder_mode,
         ),
+        objective=args.objective,
         patch_size=args.patch_size,
         batch_size=args.batch_size,
         iterations=args.iterations,
@@ -130,6 +140,7 @@ def main(argv=None) -> None:
         profile_dir=args.profile_dir,
     )
     print(f"training: {cfg.pipeline.value} | {cfg.noise.describe()} | "
+          f"objective={cfg.objective} | "
           f"{cfg.patch_size}px x{cfg.batch_size} | {cfg.iterations} iters",
           flush=True)
     trainer.train(resume=not args.no_resume)

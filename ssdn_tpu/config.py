@@ -116,9 +116,10 @@ class ModelConfig:
     # Numerics (SURVEY.md §2.5 + the measured stability matrix in README):
     # with the beta=1 NLL weighting (TrainConfig.nll_beta) the bf16 MXU
     # fast path trains stably (validated 11k+ steps; the raw beta=0 NLL
-    # diverges in every precision below fp32/highest). float32 +
-    # conv_precision="highest" reproduces the PyTorch reference's numerics
-    # exactly at ~4x the step time.
+    # diverges in every precision below fp32/highest). For the reference
+    # repo's exact numerics use TrainConfig.objective="reference", which
+    # forces float32 + HIGHEST here AND the raw-NLL estimator/optimizer
+    # settings (~2.5x the step time).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
@@ -137,6 +138,16 @@ class TrainConfig:
     pipeline: Pipeline = Pipeline.SSDN
     noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    # Training objective:
+    #   "stabilized" (default): the production numerics — Huberized whitened
+    #     residuals, soft tanh output bounds, beta-NLL weighting, Adam
+    #     eps=1e-3 (each a measured necessity for bf16 NLL training; README
+    #     numerics notes). Per-pixel optima are identical to the raw NLL.
+    #   "reference": the reference repo's exact objective [P eq. 2] — raw
+    #     NLL (no Huber), unbounded network outputs, nll_beta=0, Adam
+    #     eps=1e-8, fp32 compute at HIGHEST conv precision. __post_init__
+    #     enforces all five so the mode cannot be half-selected.
+    objective: str = "stabilized"
     patch_size: int = 64
     batch_size: int = 64           # global batch (split over the data mesh axis)
     iterations: int = 100_000
@@ -186,6 +197,37 @@ class TrainConfig:
             object.__setattr__(
                 self, "model", dataclasses.replace(self.model, in_channels=1)
             )
+        if self.objective not in ("stabilized", "reference"):
+            raise ValueError(
+                f"objective must be 'stabilized' or 'reference', "
+                f"got {self.objective!r}"
+            )
+        if self.objective == "reference":
+            # the mode is a complete preset: raw NLL + unbounded outputs
+            # come from the objective flag itself (estimator reads
+            # robust_nll / bound_outputs); the optimizer/precision halves
+            # are enforced here
+            object.__setattr__(self, "nll_beta", 0.0)
+            object.__setattr__(self, "adam_eps", 1e-8)
+            object.__setattr__(
+                self,
+                "model",
+                dataclasses.replace(
+                    self.model,
+                    compute_dtype="float32",
+                    conv_precision="highest",
+                ),
+            )
+
+    @property
+    def robust_nll(self) -> bool:
+        """Huberize the whitened residuals in the training NLL."""
+        return self.objective == "stabilized"
+
+    @property
+    def bound_outputs(self) -> bool:
+        """Soft-bound mu / covariance factors with tanh."""
+        return self.objective == "stabilized"
 
 
 def n_output_channels(pipeline: Pipeline, noise: NoiseConfig, channels: int) -> int:

@@ -79,13 +79,21 @@ def _soft_bound(x: jax.Array, limit: float) -> jax.Array:
     return limit * jnp.tanh(x / limit)
 
 
-def split_outputs(out: jax.Array, channels: int, blind: bool):
+def split_outputs(out: jax.Array, channels: int, blind: bool,
+                  bound: bool = True):
     """(B,H,W,n_out) -> (mu, a_tri, noise_ch|None). n_out layout per
     SURVEY.md §2.4: C mu channels, C(C+1)/2 covariance channels, then one
-    optional noise-estimate channel."""
+    optional noise-estimate channel.
+
+    bound=True (the stabilized objective) applies the tanh soft bounds;
+    bound=False (TrainConfig.objective "reference") passes the raw network
+    outputs through, matching the reference/paper head exactly."""
     t = channels * (channels + 1) // 2
-    mu = _soft_bound(out[..., :channels], _MU_BOUND)
-    a = _soft_bound(out[..., channels : channels + t], _A_BOUND)
+    mu = out[..., :channels]
+    a = out[..., channels : channels + t]
+    if bound:
+        mu = _soft_bound(mu, _MU_BOUND)
+        a = _soft_bound(a, _A_BOUND)
     noise_ch = out[..., channels + t] if blind else None
     return mu, a, noise_ch
 
@@ -203,6 +211,8 @@ def nll(
     *,
     blind_reg: float = 0.1,
     beta: float = 1.0,
+    robust: bool = True,
+    bound: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Mean negative log-likelihood training loss. Returns (scalar, aux).
 
@@ -215,18 +225,20 @@ def nll(
     bf16; beta=0 reproduces the reference's raw NLL). The weights are
     normalized by their batch mean so the loss magnitude (and the blind_reg
     balance) stays on the NLL scale.
+
+    robust=True Huberizes the whitened residuals (stabilized objective,
+    _HUBER_DELTA note above); robust=False + bound=False + beta=0 is the
+    reference repo's exact raw NLL (TrainConfig.objective "reference").
     """
     out = out.astype(jnp.float32)
     y = y.astype(jnp.float32)
     c = y.shape[-1]
     blind = cfg.value == NoiseValue.BLIND
-    mu, a, noise_ch = split_outputs(out, c, blind)
+    mu, a, noise_ch = split_outputs(out, c, blind, bound=bound)
     aux = {}
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
         var, sigma = _noise_variance(cfg, noise_params, mu, noise_ch)
-        # training loss uses the robust (Huberized-residual) form; see the
-        # _HUBER_DELTA note above
-        pix_nll, _, var_scale = _gauss_nll_post(mu, a, y, var, robust=True)
+        pix_nll, _, var_scale = _gauss_nll_post(mu, a, y, var, robust=robust)
         if beta:
             w = jax.lax.stop_gradient(var_scale) ** beta
             w = w / jnp.mean(w)
@@ -259,13 +271,19 @@ def posterior_mean(
     y: jax.Array,
     cfg: NoiseConfig,
     noise_params: Dict[str, jax.Array],
+    *,
+    bound: bool = True,
 ) -> jax.Array:
-    """Bayes-denoised image E[x | y] (B,H,W,C), fp32."""
+    """Bayes-denoised image E[x | y] (B,H,W,C), fp32.
+
+    bound must match the objective the model was trained with (a model
+    trained unbounded must be evaluated unbounded) — infer/ threads
+    TrainConfig.bound_outputs here."""
     out = out.astype(jnp.float32)
     y = y.astype(jnp.float32)
     c = y.shape[-1]
     blind = cfg.value == NoiseValue.BLIND
-    mu, a, noise_ch = split_outputs(out, c, blind)
+    mu, a, noise_ch = split_outputs(out, c, blind, bound=bound)
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
         var, _ = _noise_variance(cfg, noise_params, mu, noise_ch)
         _, post, _ = _gauss_nll_post(mu, a, y, var)

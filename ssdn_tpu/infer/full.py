@@ -42,7 +42,8 @@ def make_denoise_fn(cfg: TrainConfig):
         )
         if cfg.pipeline == Pipeline.SSDN:
             noise_params = _noise_param_dict(cfg.noise, sigma_or_param)
-            return estimator.posterior_mean(out, y, cfg.noise, noise_params)
+            return estimator.posterior_mean(out, y, cfg.noise, noise_params,
+                                            bound=cfg.bound_outputs)
         c = y.shape[-1]
         return estimator.mu_only(out, c)
 
@@ -118,6 +119,18 @@ def evaluate_dataset(
     each chip denoises different images; GSPMD partitions the same jitted
     program from the input sharding alone)."""
     noise = eval_noise or cfg.noise
+    # API misuse guards (ADVICE r2): these combinations would otherwise
+    # silently fall back to serial single-image eval
+    if eval_batch > 1 and mode != "full":
+        raise ValueError(
+            f"eval_batch={eval_batch} requires mode='full' (got {mode!r}); "
+            "tiled modes process one image at a time"
+        )
+    if mesh is not None and mode == "full" and eval_batch <= 1:
+        raise ValueError(
+            "a mesh with mode='full' needs eval_batch > 1 (data-parallel "
+            "eval shards the image batch); pass eval_batch=len(devices)"
+        )
     denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
     n = len(dataset)
     psnrs: List[Optional[float]] = [None] * n

@@ -65,7 +65,8 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
     )
     if cfg.pipeline == Pipeline.SSDN:
         return estimator.posterior_mean(
-            out, y, cfg.noise, _noise_param_dict(cfg.noise, noise_vec)
+            out, y, cfg.noise, _noise_param_dict(cfg.noise, noise_vec),
+            bound=cfg.bound_outputs,
         )
     return estimator.mu_only(out, y.shape[-1])
 

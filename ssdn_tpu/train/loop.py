@@ -236,7 +236,11 @@ class Trainer:
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             print(f"resumed from step {int(state.step)}", flush=True)
-        elif not resume:
+        elif not resume or self.ckpt.latest_step() is None:
+            # No checkpoint to resume => this run starts from step 0 even
+            # with resume=True (reused workdir whose ckpt/ was cleared but
+            # best_psnr.json kept, ADVICE r2): stale best state applies
+            # to neither case.
             # fresh run in a reused workdir: a stale best_psnr.json /
             # ckpt_best from the previous run would falsely trip
             # eval-patience and feed old weights to the guard escalation
@@ -284,6 +288,7 @@ class Trainer:
         guard_loss_ema = None
         guard_dev_ema = None  # EMA of |loss - ema|; sets the relative margin
         guard_streak = 0
+        guard_escalated = False  # rewind-to-best fires once per streak
         good_state = jax.tree.map(jnp.copy, state)
 
         def guard_margin():
@@ -357,10 +362,16 @@ class Trainer:
                     # best-by-eval-PSNR checkpoint while keeping the current
                     # step counter, so training resumes from a known-good
                     # basin on fresh data.
+                    # `>=` + fired-once flag (not `==`): if ckpt_best does
+                    # not exist at the exact halfway streak (first eval
+                    # lands later), re-check on every subsequent rollback
+                    # instead of never escalating (ADVICE r2)
                     if (
-                        guard_streak == max(guard_max_consecutive // 2, 1)
+                        not guard_escalated
+                        and guard_streak >= max(guard_max_consecutive // 2, 1)
                         and self.best_ckpt.latest_step() is not None
                     ):
+                        guard_escalated = True
                         print(
                             f"[guard @ {window_end}] {guard_streak} consecutive "
                             "rollbacks — rewinding weights to ckpt_best "
@@ -394,6 +405,7 @@ class Trainer:
                         break
                     continue
                 guard_streak = 0
+                guard_escalated = False
                 if guard_loss_ema is None:
                     guard_loss_ema = loss
                 else:

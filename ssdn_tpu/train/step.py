@@ -114,6 +114,7 @@ def make_train_step(cfg: TrainConfig):
                 loss, aux = estimator.nll(
                     out, y, cfg.noise, noise_params,
                     blind_reg=cfg.blind_reg, beta=cfg.nll_beta,
+                    robust=cfg.robust_nll, bound=cfg.bound_outputs,
                 )
                 return loss, aux
             if cfg.pipeline == Pipeline.SSDN_MSE:

@@ -1,19 +1,26 @@
-"""Parity measurement: default arm (bf16, beta-NLL=1)
-vs reference-numerics arm (fp32, HIGHEST, beta=0) on identical data/seeds.
-Runs both arms via the real CLI on whatever device JAX picks (TPU here),
-then prints the PSNR-vs-step table."""
+"""Parity measurement: stabilized default arm (bf16, Huber+bounds+beta-NLL)
+vs the TRUE reference-objective arm (--objective reference: raw NLL,
+unbounded outputs, beta=0, Adam eps 1e-8, fp32/HIGHEST) on identical
+data/seeds. Runs both arms via the real CLI on whatever device JAX picks
+(TPU under the driver), then prints the PSNR-vs-step table.
+
+Usage: python tools/parity_check.py [steps] [train_spec] [eval_spec]
+Defaults: 3000 synthetic:64 synthetic:8; pass e.g.
+`python tools/parity_check.py 10000 synthetic:inf:256 synthetic:8` for the
+non-memorizable streaming corpus (VERDICT r2 item 3)."""
 import json
 import shutil
 import sys
 
 from ssdn_tpu.cli.train import main as train_main
 
-STEPS = 3000
-EVERY = 500
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+TRAIN = sys.argv[2] if len(sys.argv) > 2 else "synthetic:64"
+EVAL = sys.argv[3] if len(sys.argv) > 3 else "synthetic:8"
+EVERY = max(STEPS // 10, 250)
 arms = {
-    "default_bf16_beta1": [],
-    "reference_fp32_beta0": ["--compute-dtype", "float32", "--nll-beta", "0",
-                             "--conv-precision", "highest"],
+    "stabilized_bf16": [],
+    "reference_objective": ["--objective", "reference"],
 }
 table = {}
 for name, extra in arms.items():
@@ -21,8 +28,8 @@ for name, extra in arms.items():
     shutil.rmtree(wd, ignore_errors=True)
     print(f"=== arm {name} ===", flush=True)
     train_main([
-        "--workdir", wd, "--train-data", "synthetic:64",
-        "--eval-data", "synthetic:8", "--iterations", str(STEPS),
+        "--workdir", wd, "--train-data", TRAIN,
+        "--eval-data", EVAL, "--iterations", str(STEPS),
         "--batch-size", "64", "--eval-interval", str(EVERY),
         "--snapshot-interval", str(STEPS), "--log-interval", str(EVERY),
         "--seed", "0",
