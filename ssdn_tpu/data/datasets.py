@@ -111,11 +111,95 @@ def synthetic_dataset(
     )
 
 
+class StreamingSyntheticDataset:
+    """Unbounded procedural corpus: image i is generated on demand,
+    deterministically in (seed, i) — no two training steps ever have to
+    reuse an image, which removes the memorization confound of the finite
+    synthetic corpora (VERDICT r2 item 3). Spec: ``synthetic:inf[:size]``.
+
+    Indexable like every other dataset (len = a 2^31-sized virtual epoch;
+    a tiny LRU covers repeated reads), but samplers should prefer
+    ``StreamingPatchSampler`` (sampler.py), which amortizes generation
+    over several crops per fresh image and parallelizes it.
+    """
+
+    streaming = True
+    VIRTUAL_LEN = 2 ** 31 - 1
+
+    def __init__(self, size: int = 128, channels: int = 3, seed: int = 0,
+                 grayscale: bool = False, cache: int = 256):
+        self.size = size
+        self.channels = channels
+        self.seed = seed
+        self.grayscale = grayscale
+        self._cache: "dict[int, np.ndarray]" = {}
+        self._cache_max = cache
+        # spectral-field generator state, precomputed once: a radial
+        # frequency grid for the 1/f^alpha filter and coordinate grids for
+        # the shape painter. The octave generator in synthetic.py costs
+        # ~5 ms/image (fancy-indexing bound) — too slow to feed the ~2.6k
+        # patches/s train step with fresh images; FFT-filtered noise with
+        # the same "smooth field + sharp shapes" structure runs ~6x faster.
+        fy = np.fft.fftfreq(size)[:, None]
+        fx = np.fft.rfftfreq(size)[None, :]
+        self._freq = np.sqrt(fy * fy + fx * fx)
+        self._freq[0, 0] = 1.0 / size
+        self._yy, self._xx = np.mgrid[0:size, 0:size]
+
+    def __len__(self) -> int:
+        return self.VIRTUAL_LEN
+
+    def generate(self, i: int) -> np.ndarray:
+        """Uncached deterministic generation of image i (thread-safe)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, 0x5712EA3, i])
+        )
+        size, c = self.size, self.channels
+        alpha = rng.uniform(0.9, 1.6)  # spectral slope: texture variety
+        white = rng.standard_normal((c, size, size)).astype(np.float32)
+        spec = np.fft.rfft2(white) * (self._freq ** -alpha)
+        img = np.fft.irfft2(spec, s=(size, size)).transpose(1, 2, 0)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / (hi - lo + 1e-6)
+        # sharp-edged shapes (denoising needs edges): rectangles by slice
+        # assignment, disks via the precomputed coordinate grid
+        for _ in range(int(rng.integers(2, 6))):
+            color = rng.uniform(0, 1, c).astype(np.float32)
+            blend = rng.uniform(0.5, 1.0)
+            if rng.uniform() < 0.5:
+                r0, c0 = rng.integers(0, size, 2)
+                h, w = rng.integers(size // 8, size // 2, 2)
+                reg = img[r0 : r0 + h, c0 : c0 + w]
+                reg *= 1 - blend
+                reg += blend * color
+            else:
+                cy, cx = rng.integers(0, size, 2)
+                rad = int(rng.integers(size // 10, size // 3))
+                mask = ((self._yy - cy) ** 2 + (self._xx - cx) ** 2
+                        < rad * rad)
+                img[mask] = (1 - blend) * img[mask] + blend * color
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return to_grayscale(img) if self.grayscale else img
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        img = self._cache.get(i)
+        if img is None:
+            img = self.generate(i)
+            if len(self._cache) >= self._cache_max:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[i] = img
+        return img
+
+
 def open_dataset(spec: str, grayscale: bool = False):
     """Open a dataset from a path spec: an image folder, an .h5/.hdf5 file,
-    or 'synthetic[:n[:size]]' for the procedural corpus."""
+    'synthetic[:n[:size]]' for the finite procedural corpus, or
+    'synthetic:inf[:size]' for the unbounded streaming one."""
     if spec.startswith("synthetic"):
         parts = spec.split(":")
+        if len(parts) > 1 and parts[1] in ("inf", "stream"):
+            size = int(parts[2]) if len(parts) > 2 else 128
+            return StreamingSyntheticDataset(size=size, grayscale=grayscale)
         n = int(parts[1]) if len(parts) > 1 else 64
         size = int(parts[2]) if len(parts) > 2 else 128
         ds = synthetic_dataset(n=n, size=size, channels=3)

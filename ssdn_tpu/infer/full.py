@@ -119,6 +119,11 @@ def evaluate_dataset(
     each chip denoises different images; GSPMD partitions the same jitted
     program from the input sharding alone)."""
     noise = eval_noise or cfg.noise
+    if getattr(dataset, "streaming", False):
+        raise ValueError(
+            "evaluation needs a finite dataset; 'synthetic:inf' is for "
+            "training — use 'synthetic:N[:size]' for eval"
+        )
     # API misuse guards (ADVICE r2): these combinations would otherwise
     # silently fall back to serial single-image eval
     if eval_batch > 1 and mode != "full":

@@ -137,9 +137,14 @@ class NativePatchSampler:
 
 def make_sampler(dataset, patch_size: int, batch_size: int, seed: int = 0,
                  backend: str = "auto"):
-    """'native' | 'python' | 'auto' (native when it builds)."""
-    from ssdn_tpu.data.sampler import PatchSampler
+    """'native' | 'python' | 'auto' (native when it builds).
 
+    Unbounded streaming datasets always use StreamingPatchSampler (the C++
+    arena gatherer requires a materialized finite corpus)."""
+    from ssdn_tpu.data.sampler import PatchSampler, StreamingPatchSampler
+
+    if getattr(dataset, "streaming", False):
+        return StreamingPatchSampler(dataset, patch_size, batch_size, seed)
     if backend == "python":
         return PatchSampler(dataset, patch_size, batch_size, seed)
     if backend == "native" or (backend == "auto" and available()):
