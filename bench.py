@@ -66,14 +66,40 @@ def bench_inference() -> None:
     )
 
 
+def _pallas_differential_gate() -> None:
+    """Run the compiled-kernel differential tests on the chip before any
+    A/B that reports a pallas number (VERDICT r2 item 6: a bench must not
+    report a backend whose kernel fails its differential). Aborts the
+    process on mismatch."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py", "-q",
+         "-p", "no:cacheprovider", "--noconftest", "-x"],
+        capture_output=True, text=True,
+    )
+    tail = (r.stdout or "") + (r.stderr or "")
+    if r.returncode != 0:
+        sys.stderr.write(tail[-2000:])
+        raise SystemExit(
+            "compiled Pallas kernel failed its differential tests — "
+            "refusing to report a pallas bench number"
+        )
+    print("# pallas compiled differential gate: passed", flush=True)
+
+
 def bench_ab() -> None:
     """A/B the conv backends on the bench training shape (VERDICT r1 item 3:
-    record both numbers). Run: python bench.py ab"""
+    record both numbers). Runs the compiled-kernel differential gate first.
+    Run: python bench.py ab"""
     import jax
     import jax.numpy as jnp
 
     from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
     from ssdn_tpu.train.step import init_state, make_train_step
+
+    _pallas_differential_gate()
 
     batch = 128
     out = {}

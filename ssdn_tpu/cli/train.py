@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["default", "high", "highest"])
     p.add_argument("--conv-backend", default="lax", choices=["lax", "pallas"])
     p.add_argument("--decoder-mode", default="fused", choices=["fused", "naive"])
+    p.add_argument("--enc-features", type=int, default=48,
+                   help="encoder conv width (48 = paper; smaller for "
+                        "experiments/CI)")
+    p.add_argument("--dec-features", type=int, default=96,
+                   help="decoder conv width (96 = paper)")
+    p.add_argument("--nin-a-features", type=int, default=384)
+    p.add_argument("--nin-b-features", type=int, default=96)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--sampler-backend", default="auto",
                    choices=["auto", "native", "python"],
@@ -108,6 +115,10 @@ def config_from_args(args) -> TrainConfig:
             conv_backend=args.conv_backend,
             conv_precision=args.conv_precision,
             decoder_mode=args.decoder_mode,
+            enc_features=args.enc_features,
+            dec_features=args.dec_features,
+            nin_a_features=args.nin_a_features,
+            nin_b_features=args.nin_b_features,
         ),
         objective=args.objective,
         patch_size=args.patch_size,

@@ -115,15 +115,21 @@ def param_count(params: Params) -> int:
 def _branch(params: Params, x: jax.Array, *, shifted: bool,
             compute_dtype, conv_backend: str = "lax",
             conv_precision: str = "highest",
-            decoder_mode: str = "fused") -> jax.Array:
-    """The shared U-Net trunk on a (possibly rotation-folded) batch."""
+            decoder_mode: str = "fused",
+            fold_shift_down: bool = False) -> jax.Array:
+    """The shared U-Net trunk on a (possibly rotation-folded) batch.
+
+    fold_shift_down=True (blind-spot lax path) absorbs the final
+    shift_down(out, 1) into dec1b's conv padding (conv2d down_shift) —
+    exact, and removes a full-resolution pad+slice pair from the program.
+    """
     pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
     use_pallas = conv_backend == "pallas" and shifted
     # The phase-decomposed decoder rewrite is derived for the shifted
     # (causal-up) geometry; the plain-U-Net baselines keep the literal path.
     fuse_dec = decoder_mode == "fused" and shifted
 
-    def conv(name, h):
+    def conv(name, h, down_shift=0):
         p = params[name]
         if use_pallas:
             from ssdn_tpu.ops.pallas import fused_shifted_conv
@@ -134,18 +140,31 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
             )
         return leaky_relu(
             conv2d(h, p["w"], p["b"], shifted=shifted,
+                   down_shift=down_shift,
                    out_dtype=compute_dtype, precision=conv_precision)
         )
 
+    def conv_pool(name, h):
+        """pool(lrelu(conv)) computed as lrelu(pool(conv)): LeakyReLU is
+        strictly monotone, so it commutes with the window max EXACTLY —
+        and runs on the 4x-smaller pooled tensor (r3 profile: full-res
+        elementwise+its backward were ~15 ms/step). The Pallas backend
+        keeps the literal order (its kernel fuses the activation)."""
+        if use_pallas:
+            return pool(conv(name, h))
+        p = params[name]
+        pre = conv2d(h, p["w"], p["b"], shifted=shifted,
+                     out_dtype=compute_dtype, precision=conv_precision)
+        return leaky_relu(pool(pre))
+
     x = x.astype(compute_dtype)
     skips = [x]
-    h = conv("enc1", conv("enc0", x))
-    h = pool(h)                       # pool1
+    h = conv_pool("enc1", conv("enc0", x))   # pool1
     skips.append(h)
     for i in (2, 3, 4):
-        h = pool(conv(f"enc{i}", h))  # pool2..4
+        h = conv_pool(f"enc{i}", h)          # pool2..4
         skips.append(h)
-    h = pool(conv("enc5", h))         # pool5
+    h = conv_pool("enc5", h)                 # pool5
     h = conv("enc6", h)
     # skips = [input, pool1, pool2, pool3, pool4]; decode coarse -> fine
     for stage, skip in zip((5, 4, 3, 2, 1), reversed(skips)):
@@ -161,7 +180,8 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
             h = upsample_2x_nearest(h)
             h = jnp.concatenate([h, skip.astype(compute_dtype)], axis=-1)
             h = conv(f"dec{stage}a", h)
-        h = conv(f"dec{stage}b", h)
+        ds = 1 if (fold_shift_down and stage == 1 and not use_pallas) else 0
+        h = conv(f"dec{stage}b", h, down_shift=ds)
     return h
 
 
@@ -178,14 +198,20 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
     b, h, w, _ = x.shape
     if h % STRIDE or w % STRIDE:
         raise ValueError(f"H, W must be multiples of {STRIDE}, got {h}x{w}")
+    # the +1 px blind-spot shift rides dec1b's conv padding on the lax
+    # path (free); the pallas kernel path keeps the explicit shift_down
+    fold = conv_backend != "pallas"
+
+    def trunk(g):
+        f = _branch(params, g, shifted=True, compute_dtype=compute_dtype,
+                    conv_backend=conv_backend, conv_precision=conv_precision,
+                    decoder_mode=decoder_mode, fold_shift_down=fold)
+        return f if fold else shift_down(f, 1)
+
     if blindspot:
         if h == w:
             # square: all four rotations ride one 4x batch
-            f = rotation_stack(x)
-            f = _branch(params, f, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision,
-                        decoder_mode=decoder_mode)
-            f = shift_down(f, 1)
+            f = trunk(rotation_stack(x))
             f = rotation_unstack(f)   # (B, H, W, 4*dec)
         else:
             # non-square (full-image eval, W-strips in tiled inference):
@@ -193,16 +219,8 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             # batched trunk calls instead of one, same shared weights
             ga = jnp.concatenate([x, rot90(x, 2)], axis=0)
             gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
-            fa = shift_down(
-                _branch(params, ga, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision,
-                        decoder_mode=decoder_mode), 1
-            )
-            fb = shift_down(
-                _branch(params, gb, shifted=True, compute_dtype=compute_dtype,
-                        conv_backend=conv_backend, conv_precision=conv_precision,
-                        decoder_mode=decoder_mode), 1
-            )
+            fa = trunk(ga)
+            fb = trunk(gb)
             f = jnp.concatenate(
                 [
                     fa[:b],

@@ -65,6 +65,7 @@ def conv2d(
     b: jax.Array | None = None,
     *,
     shifted: bool = False,
+    down_shift: int = 0,
     out_dtype: jnp.dtype | None = None,
     precision: lax.Precision | str | None = None,
 ) -> jax.Array:
@@ -76,6 +77,12 @@ def conv2d(
     reference's pad-top / conv / crop-bottom pipeline but fused into a single
     XLA convolution.
 
+    down_shift=k (shifted only) additionally folds shift_down(out, k) into
+    the SAME convolution via asymmetric padding (Kh-1+k, -k) — XLA supports
+    negative window padding, so the blind-spot's final +1 px shift costs
+    nothing instead of a full-tensor pad+slice (measured ~2 ms/step on the
+    r3 profile, ops/rotation.py cluster).
+
     Precision contract: fp32 inputs compute in true fp32 (XLA's default
     silently downgrades fp32 convs to bf16-class math). bf16 inputs take the
     fast MXU path — the MXU accumulates in fp32 internally and rounds the
@@ -86,8 +93,10 @@ def conv2d(
     preferred, precision = _resolve_precision(x.dtype, precision)
     kh, kw = w.shape[0], w.shape[1]
     if shifted:
-        hpad = (kh - 1, 0)
+        hpad = (kh - 1 + down_shift, -down_shift)
     else:
+        if down_shift:
+            raise ValueError("down_shift requires shifted=True")
         hpad = ((kh - 1) // 2, kh // 2)
     wpad = ((kw - 1) // 2, kw // 2)
     out = lax.conv_general_dilated(
@@ -101,6 +110,12 @@ def conv2d(
     )
     if b is not None:
         out = out + b.astype(out.dtype)
+    if down_shift:
+        # shift_down zero-fills the top rows AFTER bias; the folded conv
+        # would leave `b` there. A (1,H,1,1) mask multiply fuses into the
+        # conv epilogue (vs the full-tensor pad+slice being replaced).
+        row = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :, None, None]
+        out = out * (row >= down_shift).astype(out.dtype)
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return out
@@ -274,13 +289,16 @@ def shifted_upsample_concat_conv(
 
 
 def maxpool_2x2(x: jax.Array) -> jax.Array:
-    """2x2/2 max-pool. Windows are non-overlapping, so a reshape-max is the
-    cleanest lowering (differentiable, fuses; generic reduce_window lacks a
-    reverse-mode rule). Unshifted form is the baseline U-Net path (N2C/N2N).
-    """
-    n, h, w, c = x.shape
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return jnp.max(jnp.max(x, axis=4), axis=2)
+    """2x2/2 max-pool via lax.reduce_window (TPU pooling custom-call; its
+    reverse-mode select_and_scatter is hardware-lowered too). Measured
+    r3 on-chip vs the old reshape-max formulation: 148.7 -> 135.8 ms/step
+    on the bench config — the reshape-max's 5-D temps forced bad tilings
+    and a compare/broadcast backward chain. Literal -inf init is required
+    (a traced init value kills the autodiff rule). Unshifted form is the
+    baseline U-Net path (N2C/N2N)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
 
 
 def upsample_2x_nearest(x: jax.Array) -> jax.Array:

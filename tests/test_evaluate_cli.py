@@ -21,6 +21,8 @@ def workdir(tmp_path_factory):
         "--batch-size", "2", "--patch-size", "32",
         "--eval-interval", "0", "--snapshot-interval", "4",
         "--log-interval", "0",
+        "--enc-features", "8", "--dec-features", "16",
+        "--nin-a-features", "32", "--nin-b-features", "16",
     ])
     return wd
 

@@ -30,7 +30,11 @@ def tiny_cfg(pipeline=Pipeline.SSDN, noise="gauss25", blind=False, gray=True,
         pipeline=pipeline,
         noise=parse_noise_style(noise, blind=blind),
         model=ModelConfig(
-            in_channels=1 if gray else 3, compute_dtype="float32"
+            in_channels=1 if gray else 3, compute_dtype="float32",
+            # narrow widths: same architecture/invariants, ~8x fewer FLOPs
+            # (suite wall-clock, VERDICT r2 item 8)
+            enc_features=16, dec_features=32, nin_a_features=64,
+            nin_b_features=32,
         ),
         patch_size=32,
         batch_size=4,

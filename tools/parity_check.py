@@ -17,7 +17,7 @@ from ssdn_tpu.cli.train import main as train_main
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 TRAIN = sys.argv[2] if len(sys.argv) > 2 else "synthetic:64"
 EVAL = sys.argv[3] if len(sys.argv) > 3 else "synthetic:8"
-EVERY = max(STEPS // 10, 250)
+EVERY = max(STEPS // 40, 250)
 arms = {
     "stabilized_bf16": [],
     "reference_objective": ["--objective", "reference"],
