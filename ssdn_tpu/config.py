@@ -125,6 +125,10 @@ class ModelConfig:
     conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
     conv_backend: str = "lax"
+    # 1x1 combiner head backend: "lax" or "pallas" (one fused kernel for
+    # nin_a/nin_b/nin_c with VMEM-resident intermediates + custom VJP —
+    # ops/pallas/nin_head.py).
+    head_backend: str = "lax"
     # Decoder upsample->concat->conv stages: "fused" computes each one as a
     # phase-decomposed coarse-resolution conv (exact rewrite, ~0.67x MACs at
     # full MXU lane fill — ops.shifted_upsample_concat_conv); "naive" keeps

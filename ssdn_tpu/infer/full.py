@@ -39,6 +39,7 @@ def make_denoise_fn(cfg: TrainConfig):
             conv_backend=cfg.model.conv_backend,
             conv_precision=cfg.model.conv_precision,
             decoder_mode=cfg.model.decoder_mode,
+            head_backend=cfg.model.head_backend,
         )
         if cfg.pipeline == Pipeline.SSDN:
             noise_params = _noise_param_dict(cfg.noise, sigma_or_param)

@@ -62,6 +62,7 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
         conv_backend=cfg.model.conv_backend,
         conv_precision=cfg.model.conv_precision,
         decoder_mode=cfg.model.decoder_mode,
+        head_backend=cfg.model.head_backend,
     )
     if cfg.pipeline == Pipeline.SSDN:
         return estimator.posterior_mean(

@@ -38,7 +38,6 @@ from ssdn_tpu.ops import (
     leaky_relu,
     rot90,
     rotation_stack,
-    rotation_unstack,
     shift_down,
     shifted_maxpool_2x2,
     upsample_2x_nearest,
@@ -188,7 +187,8 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
 def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
           compute_dtype=jnp.bfloat16, conv_backend: str = "lax",
           conv_precision: str = "highest",
-          decoder_mode: str = "fused") -> jax.Array:
+          decoder_mode: str = "fused",
+          head_backend: str = "lax") -> jax.Array:
     """Forward pass: (B, H, W, C) -> (B, H, W, n_out) in fp32.
 
     H, W % 32 == 0. Square inputs fold all four rotations into one 4x batch;
@@ -210,9 +210,11 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
 
     if blindspot:
         if h == w:
-            # square: all four rotations ride one 4x batch
-            f = trunk(rotation_stack(x))
-            f = rotation_unstack(f)   # (B, H, W, 4*dec)
+            # square: all four rotations ride one 4x batch; the derotated
+            # branches stay a LIST — the channel concat either fuses into
+            # the lax nin_a conv or never materializes (pallas head)
+            y4 = trunk(rotation_stack(x))
+            parts = [rot90(y4[k * b : (k + 1) * b], -k) for k in range(4)]
         else:
             # non-square (full-image eval, W-strips in tiled inference):
             # rot0/rot180 share (H, W); rot90/rot270 share (W, H) — two
@@ -221,24 +223,53 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
             gb = jnp.concatenate([rot90(x, 1), rot90(x, 3)], axis=0)
             fa = trunk(ga)
             fb = trunk(gb)
-            f = jnp.concatenate(
-                [
-                    fa[:b],
-                    rot90(fb[:b], -1),
-                    rot90(fa[b:], -2),
-                    rot90(fb[b:], -3),
-                ],
-                axis=-1,
-            )
+            parts = [
+                fa[:b],
+                rot90(fb[:b], -1),
+                rot90(fa[b:], -2),
+                rot90(fb[b:], -3),
+            ]
     else:
-        f = _branch(params, x, shifted=False, compute_dtype=compute_dtype,
+        parts = [
+            _branch(params, x, shifted=False, compute_dtype=compute_dtype,
                     conv_backend=conv_backend, conv_precision=conv_precision,
-                        decoder_mode=decoder_mode)
+                    decoder_mode=decoder_mode)
+        ]
     # 1x1 combiner head: nin_a/nin_b ride the fast MXU path in the compute
     # dtype; nin_c accumulates in fp32 (matmul_acc_f32) so mu/Sigma leave
     # the network as fp32 for the estimator's fp32 island (SURVEY.md §2.5).
     # Profiling note: an all-fp32 head cost ~10 ms/step in converts and
-    # 6-pass fp32 matmuls on v5e.
+    # 6-pass fp32 matmuls on v5e. head_backend="pallas" runs the whole
+    # tail as one fused kernel per M-tile with the branch concat folded
+    # into per-branch matmul row-blocks (ops/pallas/nin_head.py).
+    if head_backend == "pallas":
+        from ssdn_tpu.ops.pallas.nin_head import (
+            fused_nin_head,
+            nin_head_supported,
+        )
+
+        bsz, hh, ww = parts[0].shape[:3]
+        if nin_head_supported(bsz * hh * ww):
+            xs = tuple(
+                p.astype(compute_dtype).reshape(-1, p.shape[-1])
+                for p in parts
+            )
+            wa = params["nin_a"]["w"][0, 0].astype(compute_dtype)
+            sizes = [p.shape[-1] for p in parts]
+            offs = [sum(sizes[:i]) for i in range(len(sizes))]
+            was = tuple(
+                wa[o : o + s] for o, s in zip(offs, sizes)
+            )
+            out = fused_nin_head(
+                xs, was,
+                params["nin_a"]["b"],
+                params["nin_b"]["w"][0, 0].astype(compute_dtype),
+                params["nin_b"]["b"],
+                params["nin_c"]["w"][0, 0].astype(compute_dtype),
+                params["nin_c"]["b"],
+            )
+            return out.reshape(bsz, hh, ww, -1)
+    f = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     f = f.astype(compute_dtype)
     f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"],
                           out_dtype=compute_dtype, precision=conv_precision))

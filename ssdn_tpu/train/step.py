@@ -100,6 +100,7 @@ def make_train_step(cfg: TrainConfig):
             conv_backend=cfg.model.conv_backend,
             conv_precision=cfg.model.conv_precision,
             decoder_mode=cfg.model.decoder_mode,
+            head_backend=cfg.model.head_backend,
         )
 
     def step_fn(state: TrainState, batch_u8) -> Tuple[TrainState, Dict]:

@@ -69,6 +69,40 @@ def test_compiled_backward_matches_lax():
 
 
 @requires_tpu
+def test_compiled_nin_head_matches_lax():
+    """Fused 1x1-head kernel (Mosaic-compiled): fwd + grads vs the lax
+    composition."""
+    from ssdn_tpu.ops.pallas.nin_head import fused_nin_head, lax_reference
+
+    rng = np.random.default_rng(3)
+    M, CK, NA, NB, NC = 4096, 96, 384, 96, 9
+    xs = tuple(jnp.asarray(rng.standard_normal((M, CK)) * 0.5, jnp.bfloat16)
+               for _ in range(4))
+    was = tuple(
+        jnp.asarray(rng.standard_normal((CK, NA)) * 0.05, jnp.bfloat16)
+        for _ in range(4))
+    ba = jnp.asarray(rng.standard_normal(NA) * 0.1, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((NA, NB)) * 0.05, jnp.bfloat16)
+    bb = jnp.asarray(rng.standard_normal(NB) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((NB, NC)) * 0.1, jnp.bfloat16)
+    bc = jnp.asarray(rng.standard_normal(NC) * 0.1, jnp.float32)
+    args = (xs, was, ba, wb, bb, wc, bc)
+    got = jax.jit(fused_nin_head)(*args)
+    ref = jax.jit(lax_reference)(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)
+
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(fused_nin_head(*a) ** 2),
+                          argnums=tuple(range(7))))(*args)
+    gl = jax.jit(jax.grad(lambda *a: jnp.sum(lax_reference(*a) ** 2),
+                          argnums=tuple(range(7))))(*args)
+    for a, c in zip(jax.tree.leaves(gf), jax.tree.leaves(gl)):
+        a32, c32 = np.asarray(a, np.float32), np.asarray(c, np.float32)
+        scale = max(np.abs(c32).max(), 1e-6)
+        np.testing.assert_allclose(a32 / scale, c32 / scale, atol=0.05)
+
+
+@requires_tpu
 def test_compiled_full_model_matches_lax_backend():
     """conv_backend='pallas' (compiled) == 'lax' end to end on the chip."""
     from ssdn_tpu.models import blindspot_unet

@@ -18,6 +18,51 @@ import json
 import pytest
 
 
+def _run_and_collect(wd, extra):
+    from ssdn_tpu.cli.train import main as train_main
+
+    train_main([
+        "--workdir", str(wd), "--train-data", "synthetic:64",
+        "--eval-data", "synthetic:6", "--iterations", "300",
+        "--batch-size", "8", "--patch-size", "32",
+        "--eval-interval", "100", "--snapshot-interval", "300",
+        "--log-interval", "100",
+    ] + extra)
+    evals, noisy = [], None
+    with open(wd / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("prefix") == "eval" and "psnr" in rec:
+                evals.append((rec["step"], rec["psnr"]))
+                noisy = rec.get("noisy_psnr", noisy)
+    assert evals, "no eval records written"
+    return evals, noisy
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,extra,margin",
+    [
+        # graded configs 2-4 (VERDICT r2 item 7b): a fast quality gate
+        # that catches an estimator/blind-head regression — each must
+        # clearly beat its noisy input after 300 steps. Margins are
+        # conservative vs the round-2 200-step on-chip smokes
+        # (blind-sigma +9.3, poisson +7.2, impulse +8.5 dB over noisy).
+        ("blind_sigma", ["--noise-style", "gauss5_50", "--blind"], 2.0),
+        ("poisson", ["--noise-style", "poisson30"], 2.0),
+        ("impulse", ["--noise-style", "impulse50"], 2.0),
+    ],
+)
+def test_graded_config_beats_noisy(tmp_path, name, extra, margin):
+    evals, noisy = _run_and_collect(tmp_path / name, extra)
+    best = max(p for _, p in evals)
+    assert noisy is not None
+    assert best >= noisy + margin, (
+        f"{name}: best eval {best:.2f} dB < noisy {noisy:.2f} + {margin}; "
+        f"evals={evals}"
+    )
+
+
 @pytest.mark.slow
 def test_short_training_reaches_psnr_threshold(tmp_path):
     from ssdn_tpu.cli.train import main as train_main
