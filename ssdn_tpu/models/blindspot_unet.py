@@ -115,12 +115,15 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
             compute_dtype, conv_backend: str = "lax",
             conv_precision: str = "highest",
             decoder_mode: str = "fused",
-            fold_shift_down: bool = False) -> jax.Array:
+            fold_shift_down: bool = False,
+            emit_preact: bool = False) -> jax.Array:
     """The shared U-Net trunk on a (possibly rotation-folded) batch.
 
     fold_shift_down=True (blind-spot lax path) absorbs the final
     shift_down(out, 1) into dec1b's conv padding (conv2d down_shift) —
     exact, and removes a full-resolution pad+slice pair from the program.
+    emit_preact=True skips dec1b's LeakyReLU (the fused pallas head
+    absorbs it — elementwise, so it commutes with derotation).
     """
     pool = shifted_maxpool_2x2 if shifted else maxpool_2x2
     use_pallas = conv_backend == "pallas" and shifted
@@ -180,7 +183,12 @@ def _branch(params: Params, x: jax.Array, *, shifted: bool,
             h = jnp.concatenate([h, skip.astype(compute_dtype)], axis=-1)
             h = conv(f"dec{stage}a", h)
         ds = 1 if (fold_shift_down and stage == 1 and not use_pallas) else 0
-        h = conv(f"dec{stage}b", h, down_shift=ds)
+        if stage == 1 and emit_preact and not use_pallas:
+            p = params["dec1b"]
+            h = conv2d(h, p["w"], p["b"], shifted=shifted, down_shift=ds,
+                       out_dtype=compute_dtype, precision=conv_precision)
+        else:
+            h = conv(f"dec{stage}b", h, down_shift=ds)
     return h
 
 
@@ -201,11 +209,20 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
     # the +1 px blind-spot shift rides dec1b's conv padding on the lax
     # path (free); the pallas kernel path keeps the explicit shift_down
     fold = conv_backend != "pallas"
+    # the pallas head absorbs dec1b's LeakyReLU (commutes with
+    # derotation): the trunk emits pre-activations in that mode
+    if head_backend == "pallas" and conv_backend != "pallas":
+        from ssdn_tpu.ops.pallas.nin_head import nin_head_supported
+
+        use_fused_head = nin_head_supported(b * h * w)
+    else:
+        use_fused_head = False
 
     def trunk(g):
         f = _branch(params, g, shifted=True, compute_dtype=compute_dtype,
                     conv_backend=conv_backend, conv_precision=conv_precision,
-                    decoder_mode=decoder_mode, fold_shift_down=fold)
+                    decoder_mode=decoder_mode, fold_shift_down=fold,
+                    emit_preact=use_fused_head)
         return f if fold else shift_down(f, 1)
 
     if blindspot:
@@ -233,7 +250,7 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
         parts = [
             _branch(params, x, shifted=False, compute_dtype=compute_dtype,
                     conv_backend=conv_backend, conv_precision=conv_precision,
-                    decoder_mode=decoder_mode)
+                    decoder_mode=decoder_mode, emit_preact=use_fused_head)
         ]
     # 1x1 combiner head: nin_a/nin_b ride the fast MXU path in the compute
     # dtype; nin_c accumulates in fp32 (matmul_acc_f32) so mu/Sigma leave
@@ -242,33 +259,29 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
     # 6-pass fp32 matmuls on v5e. head_backend="pallas" runs the whole
     # tail as one fused kernel per M-tile with the branch concat folded
     # into per-branch matmul row-blocks (ops/pallas/nin_head.py).
-    if head_backend == "pallas":
-        from ssdn_tpu.ops.pallas.nin_head import (
-            fused_nin_head,
-            nin_head_supported,
-        )
+    if use_fused_head:
+        from ssdn_tpu.ops.pallas.nin_head import fused_nin_head
 
         bsz, hh, ww = parts[0].shape[:3]
-        if nin_head_supported(bsz * hh * ww):
-            xs = tuple(
-                p.astype(compute_dtype).reshape(-1, p.shape[-1])
-                for p in parts
-            )
-            wa = params["nin_a"]["w"][0, 0].astype(compute_dtype)
-            sizes = [p.shape[-1] for p in parts]
-            offs = [sum(sizes[:i]) for i in range(len(sizes))]
-            was = tuple(
-                wa[o : o + s] for o, s in zip(offs, sizes)
-            )
-            out = fused_nin_head(
-                xs, was,
-                params["nin_a"]["b"],
-                params["nin_b"]["w"][0, 0].astype(compute_dtype),
-                params["nin_b"]["b"],
-                params["nin_c"]["w"][0, 0].astype(compute_dtype),
-                params["nin_c"]["b"],
-            )
-            return out.reshape(bsz, hh, ww, -1)
+        # parts are dec1b PRE-activations here (emit_preact); the kernel
+        # applies their LeakyReLU internally
+        xs = tuple(
+            p.astype(compute_dtype).reshape(-1, p.shape[-1])
+            for p in parts
+        )
+        wa = params["nin_a"]["w"][0, 0].astype(compute_dtype)
+        sizes = [p.shape[-1] for p in parts]
+        offs = [sum(sizes[:i]) for i in range(len(sizes))]
+        was = tuple(wa[o : o + s] for o, s in zip(offs, sizes))
+        out = fused_nin_head(
+            xs, was,
+            params["nin_a"]["b"],
+            params["nin_b"]["w"][0, 0].astype(compute_dtype),
+            params["nin_b"]["b"],
+            params["nin_c"]["w"][0, 0].astype(compute_dtype),
+            params["nin_c"]["b"],
+        )
+        return out.reshape(bsz, hh, ww, -1)
     f = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     f = f.astype(compute_dtype)
     f = leaky_relu(conv2d(f, params["nin_a"]["w"], params["nin_a"]["b"],

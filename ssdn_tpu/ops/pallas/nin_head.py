@@ -3,10 +3,16 @@ multi-op stage fusion with VMEM-resident activations).
 
 Replaces the lax tail of ``blindspot_unet.apply``:
 
-    f   = concat(x_0 .. x_{k-1}, channels)   # 4 derotated branch outputs
+    f   = concat(lrelu(x_0) .. lrelu(x_{k-1}), channels)
     h1  = lrelu(f  @ Wa + ba)     # (M, 384) -> (M, 384)
     h2  = lrelu(h1 @ Wb + bb)     # (M, 384) -> (M, 96)
     out = h2 @ Wc + bc            # (M, 96)  -> (M, n_out)  fp32
+
+The xs are the PRE-activation dec1b outputs: LeakyReLU is elementwise so
+it commutes with the derotation permutation, and absorbing it here removes
+the full-resolution activation op AND its backward compare/select pass
+(measured 7.25 ms/step in the r3 profile) — the backward kernel recomputes
+the mask from the xs tiles it already reads.
 
 with one kernel per M-tile. The channel concat never materializes (each
 branch tensor is its own kernel operand; Wa is split into per-branch row
@@ -65,12 +71,12 @@ def _make_fwd_kernel(k: int):
         x_refs = refs[:k]
         wa_refs = refs[k:2 * k]
         ba_ref, wb_ref, bb_ref, wc_ref, bc_ref, out_ref, h1_ref = refs[2 * k:]
-        acc = jnp.dot(x_refs[0][:], wa_refs[0][:],
+        dt = x_refs[0].dtype
+        acc = jnp.dot(_lrelu(x_refs[0][:]), wa_refs[0][:],
                       preferred_element_type=jnp.float32)
         for i in range(1, k):
-            acc += jnp.dot(x_refs[i][:], wa_refs[i][:],
+            acc += jnp.dot(_lrelu(x_refs[i][:]), wa_refs[i][:],
                            preferred_element_type=jnp.float32)
-        dt = x_refs[0].dtype
         h1 = _lrelu(acc + ba_ref[:].astype(jnp.float32)).astype(dt)
         h1_ref[:] = h1
         h2 = _lrelu(
@@ -177,17 +183,20 @@ def _make_bwd_kernel(k: int):
 
         dpre1 = jnp.where(h1 >= 0, dh1, SLOPE * dh1).astype(dt)
 
-        # --- layer a, per branch ---
+        # --- layer a, per branch (input lrelu absorbed: activation and
+        # mask both recomputed from the pre-activation tile) ---
         dba_ref[:] += jnp.sum(dpre1.astype(jnp.float32), axis=0,
                               keepdims=True)
         for i in range(k):
+            xi = x_refs[i][:]
             dwa_refs[i][:] += jax.lax.dot_general(
-                x_refs[i][:], dpre1, (((0,), (0,)), ((), ())),
+                _lrelu(xi), dpre1, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dx_refs[i][:] = jnp.dot(
+            dxi = jnp.dot(
                 dpre1, wa_refs[i][:].T, preferred_element_type=jnp.float32
-            ).astype(dt)
+            )
+            dx_refs[i][:] = jnp.where(xi >= 0, dxi, SLOPE * dxi).astype(dt)
 
     return kernel
 
@@ -300,8 +309,9 @@ fused_nin_head.defvjp(_head_fwd, _head_bwd)
 
 def lax_reference(xs, was, ba, wb, bb, wc, bc) -> jax.Array:
     """The unfused composition (differential-test oracle; mirrors the
-    model's lax tail including the fp32 final accumulation)."""
-    x = jnp.concatenate(list(xs), axis=-1)
+    model's lax tail including the fp32 final accumulation). xs are
+    pre-activations — the input lrelu is part of the op contract."""
+    x = _lrelu(jnp.concatenate(list(xs), axis=-1))
     wa = jnp.concatenate(list(was), axis=0)
     h1 = _lrelu(jnp.dot(x, wa) + ba.astype(x.dtype))
     h2 = _lrelu(jnp.dot(h1, wb) + bb.astype(x.dtype))

@@ -65,29 +65,22 @@ def test_graded_config_beats_noisy(tmp_path, name, extra, margin):
 
 @pytest.mark.slow
 def test_short_training_reaches_psnr_threshold(tmp_path):
-    from ssdn_tpu.cli.train import main as train_main
-
-    wd = tmp_path / "psnr_reg"
-    train_main([
-        "--workdir", str(wd), "--train-data", "synthetic:64",
-        "--eval-data", "synthetic:6", "--iterations", "300",
-        "--batch-size", "8", "--patch-size", "32",
-        "--eval-interval", "100", "--snapshot-interval", "300",
-        "--log-interval", "100",
-    ])
-    evals = []
-    with open(wd / "metrics.jsonl") as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("prefix") == "eval" and "psnr" in rec:
-                evals.append((rec["step"], rec["psnr"]))
+    evals, noisy = _run_and_collect(tmp_path / "psnr_reg", [])
     assert evals, "no eval records written"
     final = dict(evals)[300]
     best = max(p for _, p in evals)
-    assert final >= 22.5, (
+    # thresholds tightened round 3 (VERDICT r2 item 7a): calibration run
+    # scores 24.1 dB at step 300; 23.4 leaves ~0.7 dB run-to-run slack
+    # and now catches a ~1 dB quality regression, not just collapse
+    assert final >= 23.4, (
         f"eval PSNR regressed: {final:.2f} dB at step 300 "
-        f"(threshold 22.5, noisy level ~20.2); evals={evals}"
+        f"(threshold 23.4, calibrated 24.1, noisy ~20.2); evals={evals}"
     )
-    assert best >= 23.0, (
-        f"best eval PSNR {best:.2f} dB below 23.0; evals={evals}"
+    assert best >= 23.4, (
+        f"best eval PSNR {best:.2f} dB below 23.4; evals={evals}"
+    )
+    # posterior-mean-specific floor: a broken Sigma/posterior path can
+    # leave mu healthy while the denoised output barely beats the input
+    assert final >= noisy + 3.0, (
+        f"denoised {final:.2f} dB < noisy {noisy:.2f} + 3.0"
     )
