@@ -49,11 +49,19 @@ INTERPRET = False
 
 
 def _lrelu(x):
-    return jnp.where(x >= 0, x, SLOPE * x)
+    # the compare runs in fp32: Mosaic rejects bf16 vector cmpf
+    # ("Target does not support this comparison")
+    return jnp.where(_nonneg(x), x, SLOPE * x)
+
+
+def _nonneg(x):
+    return x.astype(jnp.float32) >= 0
 
 
 def _pick_tile(m: int) -> int:
-    for tm in (4096, 2048, 1024, 512, 256):
+    # 2048 rows: ~9 MB live VMEM with double-buffered row blocks (4096
+    # OOMed the 16 MB scoped-vmem limit on v5e)
+    for tm in (2048, 1024, 512, 4096, 256):
         if m % tm == 0:
             return tm
     return 0
@@ -181,7 +189,7 @@ def _make_bwd_kernel(k: int):
                               keepdims=True)
         dh1 = jnp.dot(dpre2, wb_ref[:].T, preferred_element_type=jnp.float32)
 
-        dpre1 = jnp.where(h1 >= 0, dh1, SLOPE * dh1).astype(dt)
+        dpre1 = jnp.where(_nonneg(h1), dh1, SLOPE * dh1).astype(dt)
 
         # --- layer a, per branch (input lrelu absorbed: activation and
         # mask both recomputed from the pre-activation tile) ---
@@ -196,7 +204,8 @@ def _make_bwd_kernel(k: int):
             dxi = jnp.dot(
                 dpre1, wa_refs[i][:].T, preferred_element_type=jnp.float32
             )
-            dx_refs[i][:] = jnp.where(xi >= 0, dxi, SLOPE * dxi).astype(dt)
+            dx_refs[i][:] = jnp.where(_nonneg(xi), dxi,
+                                      SLOPE * dxi).astype(dt)
 
     return kernel
 
@@ -285,9 +294,11 @@ def _head_fwd(xs, was, ba, wb, bb, wc, bc):
 
 def _head_bwd(res, g):
     xs, was, h1, wb, bb, wc = res
+    # the bwd kernel holds ~2x the live intermediates (dh1/dpre1 chains);
+    # half the fwd tile keeps it under the 16 MB scoped-vmem limit
     outs = _bwd_call(
         xs, was, h1, wb, bb.reshape(1, -1), wc, g,
-        tm=_pick_tile(xs[0].shape[0]), interpret=INTERPRET,
+        tm=max(_pick_tile(xs[0].shape[0]) // 2, 256), interpret=INTERPRET,
     )
     k = len(xs)
     dxs = outs[:k]
