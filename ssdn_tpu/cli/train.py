@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--objective", default="stabilized",
                    choices=["stabilized", "reference"],
                    help="'stabilized' (default): Huberized residuals, soft "
-                        "output bounds, beta-NLL, Adam eps 1e-3 — the "
-                        "production numerics with identical per-pixel "
-                        "optima. 'reference': the reference repo's exact "
+                        "output bounds, beta-NLL — the production numerics "
+                        "with identical per-pixel optima. "
+                        "'reference': the reference repo's exact "
                         "objective — raw NLL, unbounded outputs, beta=0, "
                         "Adam eps 1e-8, fp32/HIGHEST (forces those knobs)")
     p.add_argument("--nll-beta", type=float, default=1.0,

@@ -144,8 +144,7 @@ class TrainConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     # Training objective:
     #   "stabilized" (default): the production numerics — Huberized whitened
-    #     residuals, soft tanh output bounds, beta-NLL weighting, Adam
-    #     eps=1e-3 (each a measured necessity for bf16 NLL training; README
+    #     residuals, soft tanh output bounds, beta-NLL weighting (README
     #     numerics notes). Per-pixel optima are identical to the raw NLL.
     #   "reference": the reference repo's exact objective [P eq. 2] — raw
     #     NLL (no Huber), unbounded network outputs, nll_beta=0, Adam
@@ -159,14 +158,14 @@ class TrainConfig:
     lr_rampdown_frac: float = 0.3  # cosine rampdown over last fraction [N2N conv.]
     adam_b1: float = 0.9
     adam_b2: float = 0.99
-    # eps = 1e-3 (not the reference's 1e-8): measured necessity. The NLL's
-    # 1/var curvature lets Adam's normalized steps random-walk noise-
-    # dominated parameters into a variance-collapse runaway (README
-    # numerics notes); eps=1e-3 suppresses full-size steps precisely in
-    # directions with < 1e-3 gradient evidence and was the only arm that
-    # stayed stable (vs grad-clip / weight-decay / lower-lr / beta2 /
-    # Huber-delta sweeps, all of which diverged).
-    adam_eps: float = 1e-3
+    # eps history: round 1 measured eps=1e-3 as a stability necessity, but
+    # that was on the degenerate 64-image corpus and BEFORE beta-NLL
+    # landed. The round-3 bisect on the non-memorizable streaming corpus
+    # (README) shows eps=1e-3 costs ~1.6 dB of converged PSNR (31.5 vs
+    # 33.1 at 10k steps) while beta-NLL/Huber/bounds cost nothing — so the
+    # default returns to the reference's 1e-8, with the loss-spike guard +
+    # rewind escalation still armed as the production backstop.
+    adam_eps: float = 1e-8
     grad_clip: float = 0.0  # global-norm clip; 0 = off (stability knob)
     # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
     # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.
