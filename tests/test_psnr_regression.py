@@ -1,32 +1,50 @@
-"""End-to-end PSNR regression gate (SURVEY.md §4 end-to-end row; VERDICT r1
-item 5): a short real training run must reach an eval PSNR threshold that a
-blind-spot / estimator / preprocessing regression cannot.
+"""End-to-end PSNR regression gates (SURVEY.md §4 end-to-end row; VERDICT r1
+item 5, r2 items 7a/7b): a short real training run must reach an eval PSNR
+threshold that a blind-spot / estimator / preprocessing regression cannot.
 
-Calibration (this environment, CPU, seed 0, patch 32 / batch 8): evals at
-steps 100/200/300 score 19.8 / 22.7 / 24.1 dB on the synthetic corpus
-whose noisy input is 20.23 dB at sigma=25. A net that collapses to
-identity (broken blind spot) or to the prior mean sits at or below the
-noisy level, and a broken posterior mean scores far below 22. Thresholds
-22.5 (final) / 23.0 (best) leave >1 dB of run-to-run slack while catching
-every failure class above. Patch 32 keeps the gate ~5x cheaper than the
-flagship patch-64 shape; under the suite's 8-virtual-device CPU split the
-run uses 1/8 of the machine, so expect several minutes.
+Two tiers (VERDICT r2 item 8 — the box has ONE CPU core, so the full-model
+gates cost ~25 min each and cannot live in the default suite):
+
+* **Fast tier** (default suite): narrow 16/32-feature net, 150 steps. Catches
+  every *structural* failure class — broken blind spot (collapses to
+  identity => PSNR == noisy), broken posterior mean / NLL (far below noisy),
+  broken preprocessing or noise injection — in ~2 min per config.
+  Calibration (this box, 1-core CPU, seed 0, step 150): gauss25 24.30 dB vs
+  noisy 20.23 (+4.07); poisson30 23.12 vs 18.16 (+4.96); impulse50 21.03 vs
+  12.49 (+8.54). Margins keep >=1.5 dB run-to-run slack.
+  Blind-sigma has no fast quality gate: the sigma-estimation phase
+  transition needs full width + ~200 steps (measured: 16/32 net is still
+  below noisy at step 300, 24/48 at +0.2 dB after 200 steps / 5 min) — its
+  mechanical coverage (step runs, loss decreases) is in test_train_step's
+  config-2 parametrization and its quality lives in the slow tier.
+
+* **Slow tier** (`-m slow`, deselected by the default `addopts`; run it
+  per-round and record results — see README "Testing"): the full-model
+  gates with the round-3-tightened thresholds that catch a ~1 dB quality
+  regression (e.g. a subtly wrong Sigma path), plus the graded configs 2-4
+  at full fidelity.
 """
 
 import json
 
 import pytest
 
+NARROW = [
+    "--enc-features", "16", "--dec-features", "32",
+    "--nin-a-features", "64", "--nin-b-features", "32",
+]
 
-def _run_and_collect(wd, extra):
+
+def _run_and_collect(wd, extra, iterations=300, eval_interval=100):
     from ssdn_tpu.cli.train import main as train_main
 
     train_main([
         "--workdir", str(wd), "--train-data", "synthetic:64",
-        "--eval-data", "synthetic:6", "--iterations", "300",
+        "--eval-data", "synthetic:6", "--iterations", str(iterations),
         "--batch-size", "8", "--patch-size", "32",
-        "--eval-interval", "100", "--snapshot-interval", "300",
-        "--log-interval", "100",
+        "--eval-interval", str(eval_interval),
+        "--snapshot-interval", str(iterations),
+        "--log-interval", str(eval_interval),
     ] + extra)
     evals, noisy = [], None
     with open(wd / "metrics.jsonl") as f:
@@ -39,14 +57,48 @@ def _run_and_collect(wd, extra):
     return evals, noisy
 
 
+# ---------------------------------------------------------------- fast tier
+
+
+@pytest.mark.parametrize(
+    "name,extra,margin",
+    [
+        # margin = required (best eval - noisy input) in dB; calibrated
+        # values are +4.07 / +4.96 / +8.54 (module docstring)
+        ("gauss25", [], 2.5),
+        ("poisson", ["--noise-style", "poisson30"], 3.0),
+        ("impulse", ["--noise-style", "impulse50"], 6.0),
+    ],
+)
+def test_fast_gate_beats_noisy(tmp_path, name, extra, margin):
+    evals, noisy = _run_and_collect(
+        tmp_path / name, NARROW + extra, iterations=150, eval_interval=50
+    )
+    best = max(p for _, p in evals)
+    final = dict(evals)[150]
+    assert noisy is not None
+    assert best >= noisy + margin, (
+        f"{name}: best eval {best:.2f} dB < noisy {noisy:.2f} + {margin}; "
+        f"evals={evals}"
+    )
+    # the run must not have collapsed after learning (guards the trainer
+    # loop + optimizer coupling, not just the peak)
+    assert final >= best - 1.5, (
+        f"{name}: final {final:.2f} dB collapsed from best {best:.2f}; "
+        f"evals={evals}"
+    )
+
+
+# ---------------------------------------------------------------- slow tier
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "name,extra,margin",
     [
-        # graded configs 2-4 (VERDICT r2 item 7b): a fast quality gate
-        # that catches an estimator/blind-head regression — each must
-        # clearly beat its noisy input after 300 steps. Margins are
-        # conservative vs the round-2 200-step on-chip smokes
+        # graded configs 2-4 (VERDICT r2 item 7b): full-fidelity quality
+        # gates — each must clearly beat its noisy input after 300 steps.
+        # Margins are conservative vs the round-2 200-step on-chip smokes
         # (blind-sigma +9.3, poisson +7.2, impulse +8.5 dB over noisy).
         ("blind_sigma", ["--noise-style", "gauss5_50", "--blind"], 2.0),
         ("poisson", ["--noise-style", "poisson30"], 2.0),
