@@ -3,6 +3,7 @@ from ssdn_tpu.data.datasets import (
     FolderDataset,
     HDF5Dataset,
     StreamingSyntheticDataset,
+    bundled_dataset,
     open_dataset,
     synthetic_dataset,
     to_grayscale,
@@ -19,6 +20,7 @@ __all__ = [
     "FolderDataset",
     "HDF5Dataset",
     "StreamingSyntheticDataset",
+    "bundled_dataset",
     "open_dataset",
     "synthetic_dataset",
     "to_grayscale",

@@ -191,10 +191,52 @@ class StreamingSyntheticDataset:
         return img
 
 
+def _bundled_photo_paths() -> List[str]:
+    """Real photographs shipped inside installed packages (zero-egress box:
+    no Kodak/BSD68/Set14 on disk — SURVEY.md §6). These are the only real
+    photos available: sklearn's sample images (china.jpg, flower.jpg,
+    640x427 RGB) and matplotlib's grace_hopper.jpg (512x600 RGB)."""
+    paths: List[str] = []
+    try:
+        import sklearn.datasets as skd
+
+        d = os.path.join(os.path.dirname(skd.__file__), "images")
+        paths += [os.path.join(d, f) for f in ("china.jpg", "flower.jpg")]
+    except ImportError:  # pragma: no cover - sklearn is baked in
+        pass
+    try:
+        import matplotlib
+
+        paths.append(os.path.join(matplotlib.get_data_path(), "sample_data",
+                                  "grace_hopper.jpg"))
+    except ImportError:  # pragma: no cover - matplotlib is baked in
+        pass
+    return [p for p in paths if os.path.isfile(p)]
+
+
+def bundled_dataset(grayscale: bool = False) -> ArrayDataset:
+    """Eval set of real photographs found on disk (spec: ``bundled``).
+
+    The reference evaluates on Kodak/BSD68/Set14; none exist in this
+    environment, so this is the closest available real-photo PSNR anchor
+    (3 images). Generalization check: models trained on the procedural
+    streaming corpus are scored on photographs they could never have seen.
+    """
+    paths = _bundled_photo_paths()
+    if not paths:
+        raise FileNotFoundError(
+            "no bundled sample photos found (sklearn/matplotlib missing?)"
+        )
+    return ArrayDataset([load_image(p) for p in paths], grayscale=grayscale)
+
+
 def open_dataset(spec: str, grayscale: bool = False):
     """Open a dataset from a path spec: an image folder, an .h5/.hdf5 file,
-    'synthetic[:n[:size]]' for the finite procedural corpus, or
-    'synthetic:inf[:size]' for the unbounded streaming one."""
+    'synthetic[:n[:size]]' for the finite procedural corpus,
+    'synthetic:inf[:size]' for the unbounded streaming one, or 'bundled'
+    for the real-photo eval set shipped inside installed packages."""
+    if spec == "bundled":
+        return bundled_dataset(grayscale=grayscale)
     if spec.startswith("synthetic"):
         parts = spec.split(":")
         if len(parts) > 1 and parts[1] in ("inf", "stream"):

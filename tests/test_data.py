@@ -73,6 +73,24 @@ def test_open_dataset_dispatch(tmp_path):
         open_dataset(str(tmp_path / "missing"))
 
 
+def test_bundled_real_photo_dataset():
+    """'bundled' = real photographs shipped inside installed packages —
+    the only real-photo PSNR anchor on this zero-egress box (SURVEY.md §6:
+    no Kodak/BSD68/Set14 on disk)."""
+    from ssdn_tpu.data.datasets import _bundled_photo_paths
+
+    if not _bundled_photo_paths():
+        pytest.skip("no bundled sample photos on this box")
+    ds = open_dataset("bundled")
+    assert len(ds) >= 2
+    for i in range(len(ds)):
+        img = ds[i]
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
+        assert min(img.shape[:2]) >= 256  # real full-size photos, not icons
+    g = open_dataset("bundled", grayscale=True)
+    assert g[0].shape[-1] == 1
+
+
 def test_patch_sampler_determinism_and_bounds():
     ds = synthetic_dataset(n=4, size=48, channels=3, seed=2)
     s = PatchSampler(ds, patch_size=32, batch_size=8, seed=5)
