@@ -223,7 +223,18 @@ def apply(params: Params, x: jax.Array, *, blindspot: bool = True,
                     conv_backend=conv_backend, conv_precision=conv_precision,
                     decoder_mode=decoder_mode, fold_shift_down=fold,
                     emit_preact=use_fused_head)
-        return f if fold else shift_down(f, 1)
+        f = f if fold else shift_down(f, 1)
+        if conv_backend == "pallas":
+            # Measured XLA<->Mosaic miscompile (r3, v5e): with the trunk's
+            # Mosaic custom-calls upstream, XLA's layout/fusion rewrite of
+            # the PURE-LAX derotate+concat+head section downstream computes
+            # garbage (out maxabs 1.15 vs CPU, 67% of elements >0.1, even
+            # at fp32/HIGHEST) while the trunk output itself is correct
+            # (maxabs 0.018) — tested op-by-op and whole-graph, pool
+            # formulation and shift-fold exonerated. The barrier pins the
+            # hand-off and restores exactness (maxabs 0.014).
+            f = jax.lax.optimization_barrier(f)
+        return f
 
     if blindspot:
         if h == w:

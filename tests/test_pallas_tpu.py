@@ -70,9 +70,20 @@ def test_compiled_backward_matches_lax():
 
 @requires_tpu
 def test_compiled_nin_head_matches_lax():
-    """Fused 1x1-head kernel (Mosaic-compiled): fwd + grads vs the lax
-    composition."""
-    from ssdn_tpu.ops.pallas.nin_head import fused_nin_head, lax_reference
+    """Fused 1x1-head kernel (Mosaic-compiled): two-oracle differential.
+
+    vs the INTERPRETED kernel (identical math => identical LeakyReLU
+    masks): tight tolerances on fwd + every grad — this is the "Mosaic
+    compiled my kernel correctly" check. vs the lax composition: fwd and
+    the M-averaged weight/bias grads only. The per-element dx grads are
+    NOT lax-comparable at tight tolerance: the kernel accumulates pre1 in
+    fp32 while the model's bf16 lax tail rounds pre-bias, so ~0.2% of
+    pre-activations land on opposite sides of the LeakyReLU kink (measured
+    on-chip: 3.5k of 1.6M at |pre1|<1e-3) and one flipped mask perturbs a
+    whole dx row by 0.9*|dh1|. dx-vs-lax math is covered by the CI
+    interpreter test plus the compiled==interpreted identity here.
+    """
+    from ssdn_tpu.ops.pallas import nin_head as nh
 
     rng = np.random.default_rng(3)
     M, CK, NA, NB, NC = 4096, 96, 384, 96, 9
@@ -87,19 +98,39 @@ def test_compiled_nin_head_matches_lax():
     wc = jnp.asarray(rng.standard_normal((NB, NC)) * 0.1, jnp.bfloat16)
     bc = jnp.asarray(rng.standard_normal(NC) * 0.1, jnp.float32)
     args = (xs, was, ba, wb, bb, wc, bc)
-    got = jax.jit(fused_nin_head)(*args)
-    ref = jax.jit(lax_reference)(*args)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref, np.float32),
-                               rtol=0.06, atol=0.06)
 
-    gf = jax.jit(jax.grad(lambda *a: jnp.sum(fused_nin_head(*a) ** 2),
-                          argnums=tuple(range(7))))(*args)
-    gl = jax.jit(jax.grad(lambda *a: jnp.sum(lax_reference(*a) ** 2),
-                          argnums=tuple(range(7))))(*args)
-    for a, c in zip(jax.tree.leaves(gf), jax.tree.leaves(gl)):
-        a32, c32 = np.asarray(a, np.float32), np.asarray(c, np.float32)
+    loss = lambda *a: jnp.sum(nh.fused_nin_head(*a) ** 2)
+    assert nh.INTERPRET is False
+    got = np.asarray(jax.jit(nh.fused_nin_head)(*args))
+    g_comp = [np.asarray(g, np.float32) for g in jax.tree.leaves(
+        jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*args))]
+    try:
+        nh.INTERPRET = True
+        f_int = np.asarray(jax.jit(nh.fused_nin_head)(*args))
+        g_int = [np.asarray(g, np.float32) for g in jax.tree.leaves(
+            jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*args))]
+    finally:
+        nh.INTERPRET = False
+
+    # compiled == interpreted (measured: fwd bit-identical, grads <=3e-3)
+    np.testing.assert_allclose(got, f_int, rtol=1e-6, atol=1e-6)
+    for a, c in zip(g_comp, g_int):
+        scale = max(np.abs(c).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, c / scale, atol=0.01)
+
+    # vs lax: fwd + the flip-robust (M-summed) weight/bias grads
+    ref = jax.jit(nh.lax_reference)(*args)
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)
+    gl = jax.tree.leaves(jax.jit(jax.grad(
+        lambda *a: jnp.sum(nh.lax_reference(*a) ** 2),
+        argnums=tuple(range(7))))(*args))
+    for i, (a, c) in enumerate(zip(g_comp, gl)):
+        if i < 4:  # dx_0..dx_3: mask-flip sensitive, see docstring
+            continue
+        c32 = np.asarray(c, np.float32)
         scale = max(np.abs(c32).max(), 1e-6)
-        np.testing.assert_allclose(a32 / scale, c32 / scale, atol=0.05)
+        np.testing.assert_allclose(a / scale, c32 / scale, atol=0.05)
 
 
 @requires_tpu
@@ -120,3 +151,29 @@ def test_compiled_full_model_matches_lax_backend():
     ref = f(params, x, "lax")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.1, atol=0.1)
+
+
+@requires_tpu
+def test_compiled_full_model_pallas_head_matches_lax():
+    """head_backend='pallas' (Mosaic nin_head downstream of the lax trunk)
+    == all-lax, end to end on the chip. Guards the flag-reachable fused-head
+    path against the XLA<->Mosaic boundary-miscompile class found r3 (see
+    blindspot_unet.apply trunk barrier): a Mosaic custom-call in the graph
+    corrupted XLA's rewrite of ADJACENT pure-lax sections while every
+    op-level differential stayed green."""
+    from ssdn_tpu.models import blindspot_unet
+
+    rng = np.random.default_rng(4)
+    params = blindspot_unet.init_params(jax.random.key(0), 3, 9)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 64, 64, 3)), jnp.float32)
+    f = jax.jit(
+        lambda p, x, hb: blindspot_unet.apply(
+            p, x, blindspot=True, compute_dtype=jnp.bfloat16,
+            head_backend=hb,
+        ),
+        static_argnums=2,
+    )
+    got = np.asarray(f(params, x, "pallas"))
+    ref = np.asarray(f(params, x, "lax"))
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
+    assert not np.allclose(got, 0)
