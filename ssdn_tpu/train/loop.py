@@ -150,6 +150,28 @@ class Trainer:
             if eval_data
             else None
         )
+        # Measured guardrail (round 3, tests/test_psnr_regression.py
+        # docstring): a 5-level U-Net trained on patches < 64 px does not
+        # extrapolate to larger inference sizes — its deepest stages only
+        # ever see 1x1/2x2 maps and specialize to that degenerate regime,
+        # so eval PSNR on larger images DEGRADES as training proceeds
+        # (measured: 24.2 -> 13.9 dB over steps 100-300 at patch 32 / eval
+        # 128, while the same weights score 28.9 dB at 32px inputs).
+        if self.eval_dataset is not None and cfg.patch_size < 64:
+            try:
+                eh, ew = self.eval_dataset[0].shape[:2]
+            except Exception:
+                eh = ew = 0
+            if max(eh, ew) > cfg.patch_size:
+                print(
+                    f"[warn] training patch {cfg.patch_size}px is smaller "
+                    f"than the eval images ({eh}x{ew}) and below the ~64px "
+                    f"size-generalization floor of the 5-level U-Net: eval "
+                    f"PSNR on larger images will degrade as deep stages "
+                    f"specialize to tiny training maps. Train with "
+                    f"--patch-size >= 64 for full-size inference.",
+                    flush=True,
+                )
         from ssdn_tpu.native import NativePatchSampler, make_sampler
 
         # Pin the sampler backend across resumes: 'auto' re-decided per

@@ -2,27 +2,50 @@
 item 5, r2 items 7a/7b): a short real training run must reach an eval PSNR
 threshold that a blind-spot / estimator / preprocessing regression cannot.
 
-Two tiers (VERDICT r2 item 8 — the box has ONE CPU core, so the full-model
-gates cost ~25 min each and cannot live in the default suite):
+Gate design (round 3, revised after the slow tier went red):
 
-* **Fast tier** (default suite): narrow 16/32-feature net, 150 steps. Catches
-  every *structural* failure class — broken blind spot (collapses to
-  identity => PSNR == noisy), broken posterior mean / NLL (far below noisy),
-  broken preprocessing or noise injection — in ~2 min per config.
-  Calibration (this box, 1-core CPU, seed 0, step 150): gauss25 24.30 dB vs
-  noisy 20.23 (+4.07); poisson30 23.12 vs 18.16 (+4.96); impulse50 21.03 vs
-  12.49 (+8.54). Margins keep >=1.5 dB run-to-run slack.
-  Blind-sigma has no fast quality gate: the sigma-estimation phase
-  transition needs full width + ~200 steps (measured: 16/32 net is still
-  below noisy at step 300, 24/48 at +0.2 dB after 200 steps / 5 min) — its
-  mechanical coverage (step runs, loss decreases) is in test_train_step's
-  config-2 parametrization and its quality lives in the slow tier.
+* **Streaming corpus** (`synthetic:inf:128`): every step trains on fresh
+  deterministic images, so small-corpus memorization cannot shape the curve.
+
+* **Eval at the training patch size** (32px eval images). The original
+  gates trained at patch 32 and evaluated 128px images; that measures
+  *size extrapolation*, not denoising quality, and it is unstable BY
+  DESIGN of the architecture: trained at 32px the 5-level U-Net's deepest
+  stages only ever see 1x1 maps, and as training proceeds they specialize
+  to that degenerate regime — measured on-chip (full model, 300 steps,
+  streaming corpus): eval at 128px collapses 24.2 -> 13.9 dB between steps
+  100 and 300 while THE SAME weights score 28.9 dB on 32px inputs and the
+  train-side mu-MSE sits at the noise floor. Adam eps=1e-3 (the round-1
+  default) merely slowed the specialization, which is why the old gates
+  were calibrated green and went red when the default moved to the
+  reference's 1e-8. Production shapes (patch >= 64) do not hit this: the
+  10k-step runs (README) eval 128-512px images monotonically. The gates
+  now eval at the train size, which is the regime they are meant to gate;
+  size extrapolation is covered by the patch-64 long-run evidence.
+
+* Calibration (TPU v5e, seed 0, streaming corpus, batch 8, patch 32 —
+  CPU-vs-chip bf16 drift measured at ~0.1-0.3 dB on these curves):
+    fast tier (narrow 16/32 net, 250 steps, eval@250):
+      gauss25 22.12 vs noisy 20.29 (+1.84); poisson30 21.07 vs 18.10
+      (+2.97); impulse50 19.33 vs 12.40 (+6.93)
+    slow tier (full model, 300 steps, eval@300):
+      gauss25 24.63 (+4.35); poisson30 22.96 (+4.86); impulse50 21.36
+      (+8.96); blind-sigma 22.39 vs 19.59 (+2.80)
+  All curves are monotone; the gates also assert no post-peak collapse.
+
+* **Fast tier** (default suite): narrow 16/32-feature net, 250 steps
+  (~3 min per config on the 1-core box). Catches every *structural*
+  failure class — broken blind spot (collapses to identity => PSNR ==
+  noisy), broken posterior mean / NLL (at or below noisy), broken
+  preprocessing or noise injection. Blind-sigma has no fast quality gate:
+  the sigma-estimation phase transition needs full width (measured round
+  3: the 16/32 net is below noisy at step 300) — its mechanical coverage
+  is in test_train_step and its quality lives in the slow tier.
 
 * **Slow tier** (`-m slow`, deselected by the default `addopts`; run it
   per-round and record results — see README "Testing"): the full-model
-  gates with the round-3-tightened thresholds that catch a ~1 dB quality
-  regression (e.g. a subtly wrong Sigma path), plus the graded configs 2-4
-  at full fidelity.
+  gates with thresholds ~1 dB under calibration, tight enough to catch a
+  ~1 dB quality regression (e.g. a subtly wrong Sigma path).
 """
 
 import json
@@ -39,8 +62,8 @@ def _run_and_collect(wd, extra, iterations=300, eval_interval=100):
     from ssdn_tpu.cli.train import main as train_main
 
     train_main([
-        "--workdir", str(wd), "--train-data", "synthetic:64",
-        "--eval-data", "synthetic:6", "--iterations", str(iterations),
+        "--workdir", str(wd), "--train-data", "synthetic:inf:128",
+        "--eval-data", "synthetic:6:32", "--iterations", str(iterations),
         "--batch-size", "8", "--patch-size", "32",
         "--eval-interval", str(eval_interval),
         "--snapshot-interval", str(iterations),
@@ -64,18 +87,18 @@ def _run_and_collect(wd, extra, iterations=300, eval_interval=100):
     "name,extra,margin",
     [
         # margin = required (best eval - noisy input) in dB; calibrated
-        # values are +4.07 / +4.96 / +8.54 (module docstring)
-        ("gauss25", [], 2.5),
-        ("poisson", ["--noise-style", "poisson30"], 3.0),
-        ("impulse", ["--noise-style", "impulse50"], 6.0),
+        # margins are +1.84 / +2.97 / +6.93 (module docstring)
+        ("gauss25", [], 1.0),
+        ("poisson", ["--noise-style", "poisson30"], 1.8),
+        ("impulse", ["--noise-style", "impulse50"], 4.5),
     ],
 )
 def test_fast_gate_beats_noisy(tmp_path, name, extra, margin):
     evals, noisy = _run_and_collect(
-        tmp_path / name, NARROW + extra, iterations=150, eval_interval=50
+        tmp_path / name, NARROW + extra, iterations=250, eval_interval=50
     )
     best = max(p for _, p in evals)
-    final = dict(evals)[150]
+    final = dict(evals)[250]
     assert noisy is not None
     assert best >= noisy + margin, (
         f"{name}: best eval {best:.2f} dB < noisy {noisy:.2f} + {margin}; "
@@ -96,21 +119,25 @@ def test_fast_gate_beats_noisy(tmp_path, name, extra, margin):
 @pytest.mark.parametrize(
     "name,extra,margin",
     [
-        # graded configs 2-4 (VERDICT r2 item 7b): full-fidelity quality
-        # gates — each must clearly beat its noisy input after 300 steps.
-        # Margins are conservative vs the round-2 200-step on-chip smokes
-        # (blind-sigma +9.3, poisson +7.2, impulse +8.5 dB over noisy).
-        ("blind_sigma", ["--noise-style", "gauss5_50", "--blind"], 2.0),
-        ("poisson", ["--noise-style", "poisson30"], 2.0),
-        ("impulse", ["--noise-style", "impulse50"], 2.0),
+        # graded configs 2-4 (VERDICT r2 item 7b): full-width quality gates
+        # at the gate shape. Calibrated margins +2.80 / +4.86 / +8.96
+        # (module docstring); thresholds leave ~1.2-2 dB slack.
+        ("blind_sigma", ["--noise-style", "gauss5_50", "--blind"], 1.5),
+        ("poisson", ["--noise-style", "poisson30"], 3.5),
+        ("impulse", ["--noise-style", "impulse50"], 7.0),
     ],
 )
 def test_graded_config_beats_noisy(tmp_path, name, extra, margin):
     evals, noisy = _run_and_collect(tmp_path / name, extra)
     best = max(p for _, p in evals)
+    final = evals[-1][1]
     assert noisy is not None
     assert best >= noisy + margin, (
         f"{name}: best eval {best:.2f} dB < noisy {noisy:.2f} + {margin}; "
+        f"evals={evals}"
+    )
+    assert final >= best - 1.0, (
+        f"{name}: final {final:.2f} dB collapsed from best {best:.2f}; "
         f"evals={evals}"
     )
 
@@ -121,15 +148,15 @@ def test_short_training_reaches_psnr_threshold(tmp_path):
     assert evals, "no eval records written"
     final = dict(evals)[300]
     best = max(p for _, p in evals)
-    # thresholds tightened round 3 (VERDICT r2 item 7a): calibration run
-    # scores 24.1 dB at step 300; 23.4 leaves ~0.7 dB run-to-run slack
-    # and now catches a ~1 dB quality regression, not just collapse
-    assert final >= 23.4, (
+    # calibrated 24.63 at step 300 on-chip (module docstring); 23.6 leaves
+    # ~1 dB slack for run-to-run/backend drift while catching a ~1 dB
+    # quality regression (e.g. a subtly wrong Sigma path)
+    assert final >= 23.6, (
         f"eval PSNR regressed: {final:.2f} dB at step 300 "
-        f"(threshold 23.4, calibrated 24.1, noisy ~20.2); evals={evals}"
+        f"(threshold 23.6, calibrated 24.63, noisy ~20.3); evals={evals}"
     )
-    assert best >= 23.4, (
-        f"best eval PSNR {best:.2f} dB below 23.4; evals={evals}"
+    assert best >= 23.6, (
+        f"best eval PSNR {best:.2f} dB below 23.6; evals={evals}"
     )
     # posterior-mean-specific floor: a broken Sigma/posterior path can
     # leave mu healthy while the denoised output barely beats the input
