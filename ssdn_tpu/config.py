@@ -52,14 +52,28 @@ class NoiseConfig:
     # Gaussian: sigma range in 0..255 units; sigma_min == sigma_max => fixed.
     sigma_min: float = 25.0
     sigma_max: float = 25.0
-    # Poisson: event count at intensity 1.0 (lambda).
+    # Poisson: event count at intensity 1.0 (lambda). lam_max=None => fixed;
+    # otherwise lambda ~ U[lam, lam_max] per image ([P] Table 3's variable-
+    # lambda rows; style "poisson5_50").
     lam: float = 30.0
-    # Impulse: per-pixel replacement probability alpha.
+    lam_max: float | None = None
+    # Impulse: per-pixel replacement probability alpha. alpha_max=None =>
+    # fixed; otherwise alpha ~ U[alpha, alpha_max] per image ([P] Table 3's
+    # variable-alpha rows; style "impulse30_60", percent units).
     alpha: float = 0.5
+    alpha_max: float | None = None
 
     @property
     def fixed_sigma(self) -> bool:
         return self.sigma_min == self.sigma_max
+
+    @property
+    def fixed_lam(self) -> bool:
+        return self.lam_max is None or self.lam_max == self.lam
+
+    @property
+    def fixed_alpha(self) -> bool:
+        return self.alpha_max is None or self.alpha_max == self.alpha
 
     def describe(self) -> str:
         if self.model == NoiseModel.GAUSSIAN:
@@ -70,8 +84,18 @@ class NoiseConfig:
             )
             return f"gauss sigma={rng} ({self.value.value})"
         if self.model == NoiseModel.POISSON:
-            return f"poisson lam={self.lam:g} ({self.value.value})"
-        return f"impulse alpha={self.alpha:g} ({self.value.value})"
+            rng = (
+                f"{self.lam:g}"
+                if self.fixed_lam
+                else f"[{self.lam:g},{self.lam_max:g}]"
+            )
+            return f"poisson lam={rng} ({self.value.value})"
+        rng = (
+            f"{self.alpha:g}"
+            if self.fixed_alpha
+            else f"[{self.alpha:g},{self.alpha_max:g}]"
+        )
+        return f"impulse alpha={rng} ({self.value.value})"
 
 
 _STYLE_RE = re.compile(
@@ -81,9 +105,11 @@ _STYLE_RE = re.compile(
 
 def parse_noise_style(style: str, blind: bool = False) -> NoiseConfig:
     """Parse reference-style noise strings: ``gauss25``, ``gauss5_50``,
-    ``poisson30``, ``impulse50`` (impulse argument is percent).
+    ``poisson30``, ``poisson5_50``, ``impulse50``, ``impulse30_60``
+    (impulse arguments are percent; a range means a per-image uniform draw).
 
-    SURVEY.md §2.1 noise-synthesis row; [B] configs 1-4.
+    SURVEY.md §2.1 noise-synthesis row; [B] configs 1-4 plus [P] Table 3's
+    variable-parameter rows.
     """
     m = _STYLE_RE.match(style.strip().lower())
     if not m:
@@ -98,10 +124,15 @@ def parse_noise_style(style: str, blind: bool = False) -> NoiseConfig:
         )
     if kind == "poisson":
         return NoiseConfig(
-            model=NoiseModel.POISSON, value=value, lam=float(a) if a else 30.0
+            model=NoiseModel.POISSON, value=value,
+            lam=float(a) if a else 30.0,
+            lam_max=float(b) if b is not None else None,
         )
     pct = float(a) if a is not None else 50.0
-    return NoiseConfig(model=NoiseModel.IMPULSE, value=value, alpha=pct / 100.0)
+    return NoiseConfig(
+        model=NoiseModel.IMPULSE, value=value, alpha=pct / 100.0,
+        alpha_max=float(b) / 100.0 if b is not None else None,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,6 +16,10 @@ noise parameter is blind-estimated. Per noise model [P]:
   * Poisson lam: y = Poisson(lam (x+1/2))/lam - 1/2 approximated as
         heteroscedastic Gaussian with per-channel variance
         max(mu + 1/2, eps)/lam substituted for sigma^2 (diagonal).
+  * Poisson, blind lambda: the extra channel estimates s (the noise std at
+        mid-intensity, s^2 = 0.5/lam) via the same softplus spatial mean as
+        blind sigma; variance = (mu+1/2) * 2 s^2, regularizer
+        -blind_reg * s (see _noise_variance for the derivation note).
   * Impulse alpha: pixel replaced by a uniform color with prob alpha;
         marginal p(y) = alpha * u(y) + (1-alpha) N(y; mu, Sigma_x + eps I)
         with u = 1 on the unit cube; loss = -log p(y);
@@ -110,8 +114,10 @@ def _noise_variance(
     mu: jax.Array,
     noise_ch,
 ) -> jax.Array:
-    """Per-pixel-per-channel noise variance (B,H,W,C), plus the sigma
-    estimate used (for logging), for the Gaussian-family models."""
+    """Per-pixel-per-channel noise variance (B,H,W,C), plus the per-image
+    noise-scale estimate (B,) used (sigma or its Poisson analogue s — the
+    blind regularizer's argument and the logging value; None when the true
+    parameter is known), for the Gaussian-family models."""
     if cfg.model == NoiseModel.GAUSSIAN:
         if cfg.value == NoiseValue.BLIND:
             sigma = estimate_sigma(noise_ch)  # (B,)
@@ -124,6 +130,23 @@ def _noise_variance(
         var = (sigma ** 2)[:, None, None, None]
         return jnp.broadcast_to(var, mu.shape).astype(jnp.float32), sigma
     if cfg.model == NoiseModel.POISSON:
+        if cfg.value == NoiseValue.BLIND:
+            # Blind lambda, re-derived per the Gaussian-blind pattern ([P]
+            # §3.1 describes only the sigma case; SURVEY.md §2.5 flags the
+            # exact analogue "re-verify", so this is first-principles —
+            # validated by training behavior, tests/test_estimator.py):
+            # the network's extra channel estimates s = the noise std at
+            # mid-intensity (rate lam/2), i.e. s^2 = 0.5/lam, via the same
+            # spatial softplus-mean as sigma. Then var(mu) = (mu+1/2)/lam
+            # = (mu+1/2) * 2 s^2, and the anti-degeneracy regularizer
+            # -blind_reg * mean(s) has identical form/units/coefficient to
+            # the Gaussian one (s and sigma are both stds in the internal
+            # [0,1] range, ~0.13 at lam=30).
+            s = estimate_sigma(noise_ch)  # (B,)
+            var = jnp.maximum(mu + 0.5, 1e-3) * (
+                2.0 * (s ** 2)[:, None, None, None]
+            )
+            return var.astype(jnp.float32), s
         # scalar or (B,): reshape per-image values to broadcast over
         # (B,H,W,C) — a bare (B,) would line up with channels instead
         lam = jnp.asarray(noise_params["lam"], jnp.float32)
@@ -237,18 +260,24 @@ def nll(
     mu, a, noise_ch = split_outputs(out, c, blind, bound=bound)
     aux = {}
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
-        var, sigma = _noise_variance(cfg, noise_params, mu, noise_ch)
+        var, scale = _noise_variance(cfg, noise_params, mu, noise_ch)
         pix_nll, _, var_scale = _gauss_nll_post(mu, a, y, var, robust=robust)
         if beta:
             w = jax.lax.stop_gradient(var_scale) ** beta
             w = w / jnp.mean(w)
             pix_nll = w * pix_nll
         loss = jnp.mean(pix_nll)
-        if cfg.model == NoiseModel.GAUSSIAN and blind:
-            aux["sigma_hat"] = sigma
-            loss = loss - blind_reg * jnp.mean(sigma)
-        elif sigma is not None:
-            aux["sigma"] = sigma
+        if blind:
+            # anti-degeneracy regularizer, same form for both blind models
+            # (scale = sigma_hat for Gaussian, s_hat for Poisson — see
+            # _noise_variance)
+            loss = loss - blind_reg * jnp.mean(scale)
+            if cfg.model == NoiseModel.GAUSSIAN:
+                aux["sigma_hat"] = scale
+            else:
+                aux["lam_hat"] = 0.5 / (scale ** 2 + 1e-8)
+        elif scale is not None:
+            aux["sigma"] = scale
     elif cfg.model == NoiseModel.IMPULSE:
         alpha = _impulse_alpha(cfg, noise_params, noise_ch)
         log_n = _prior_logdensity(mu, a, y)  # (B,H,W)

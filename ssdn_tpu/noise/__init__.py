@@ -9,9 +9,16 @@ and converted internally.
 Per model:
   * gaussian: y = x + sigma/255 * N(0, I); sigma per image ~ U[smin, smax]
     (fixed when smin == smax) — known-sigma and blind-sigma training [B 1-2].
-  * poisson(lam): y = Poisson(lam * (x + 1/2)) / lam - 1/2  [B 3].
+  * poisson(lam): y = Poisson(lam * (x + 1/2)) / lam - 1/2  [B 3];
+    lam per image ~ U[lam, lam_max] when a range is configured
+    ([P] Table 3 variable-lambda, style "poisson5_50").
   * impulse(alpha): each pixel independently replaced, with probability
-    alpha, by a uniform random color in the unit cube [B 4].
+    alpha, by a uniform random color in the unit cube [B 4]; alpha per
+    image ~ U[alpha, alpha_max] when a range is configured
+    ([P] Table 3 variable-alpha, style "impulse30_60").
+
+All injectors return per-image (B,) parameter vectors in ``params`` (the
+KNOWN-value estimator consumes them; fixed configs return constant vectors).
 """
 
 from __future__ import annotations
@@ -47,15 +54,30 @@ def add_noise(
         )
         return y, {"sigma": sigma}
     if cfg.model == NoiseModel.POISSON:
-        lam = jnp.asarray(cfg.lam, jnp.float32)
-        rate = jnp.maximum(lam * (x + 0.5), 0.0)
-        y = jax.random.poisson(key, rate).astype(jnp.float32) / lam - 0.5
+        if cfg.fixed_lam:
+            lam = jnp.full((b,), cfg.lam, jnp.float32)
+        else:
+            klam, key = jax.random.split(key)
+            lam = jax.random.uniform(
+                klam, (b,), jnp.float32, cfg.lam, cfg.lam_max
+            )
+        lam4 = lam[:, None, None, None]
+        rate = jnp.maximum(lam4 * (x + 0.5), 0.0)
+        y = jax.random.poisson(key, rate).astype(jnp.float32) / lam4 - 0.5
         return y, {"lam": lam}
     if cfg.model == NoiseModel.IMPULSE:
         kmask, kcolor = jax.random.split(key)
-        alpha = jnp.asarray(cfg.alpha, jnp.float32)
+        if cfg.fixed_alpha:
+            alpha = jnp.full((b,), cfg.alpha, jnp.float32)
+        else:
+            kalpha, kmask = jax.random.split(kmask)
+            alpha = jax.random.uniform(
+                kalpha, (b,), jnp.float32, cfg.alpha, cfg.alpha_max
+            )
         # one Bernoulli per pixel (the whole color is replaced together)
-        mask = jax.random.bernoulli(kmask, alpha, x.shape[:3])[..., None]
+        mask = jax.random.bernoulli(
+            kmask, alpha[:, None, None], x.shape[:3]
+        )[..., None]
         color = jax.random.uniform(kcolor, x.shape, jnp.float32, -0.5, 0.5)
         y = jnp.where(mask, color, x)
         return y, {"alpha": alpha}

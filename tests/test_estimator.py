@@ -216,3 +216,33 @@ def test_impulse_blind_alpha_estimate():
     np.testing.assert_allclose(ah, ref, rtol=1e-4)
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, {})
     assert bool(jnp.isfinite(post).all())
+
+
+def test_poisson_blind_lambda_estimate_and_reg():
+    """Blind-lambda path (core._noise_variance derivation note): the extra
+    channel's softplus spatial mean s is the mid-intensity noise std,
+    var = (mu+1/2) * 2 s^2, regularizer -blind_reg * mean(s), and
+    aux lam_hat = 0.5 / s^2."""
+    out, y = rand_outputs(3, blind=True, seed=9)
+    cfg = NoiseConfig(
+        model=NoiseModel.POISSON, value=NoiseValue.BLIND, lam=5, lam_max=50,
+    )
+    loss, aux = nll(jnp.asarray(out), jnp.asarray(y), cfg, {}, blind_reg=0.1)
+    s = np.log1p(np.exp(out[..., 9])).mean(axis=(1, 2))
+    np.testing.assert_allclose(
+        np.asarray(aux["lam_hat"]), 0.5 / (s ** 2 + 1e-8), rtol=1e-4
+    )
+    mu = bmu(out[..., :3])
+    var = np.maximum(mu + 0.5, 1e-3) * 2.0 * (s ** 2)[:, None, None, None]
+    ref_nll, ref_post, _ = dense_reference(mu, ba(out[..., 3:9]), y, var,
+                                           robust=True)
+    np.testing.assert_allclose(
+        float(loss), ref_nll.mean() - 0.1 * s.mean(), rtol=1e-4
+    )
+    # regularizer direction: larger coefficient => smaller loss
+    loss2, _ = nll(jnp.asarray(out), jnp.asarray(y), cfg, {}, blind_reg=0.5)
+    assert float(loss2) < float(loss)
+    # posterior consumes the same estimated variance — matches dense oracle
+    post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, {})
+    np.testing.assert_allclose(np.asarray(post), ref_post, rtol=1e-3,
+                               atol=1e-4)

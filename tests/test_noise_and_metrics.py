@@ -119,3 +119,67 @@ def test_parse_noise_style():
     assert parse_noise_style("impulse50").alpha == 0.5
     with pytest.raises(ValueError):
         parse_noise_style("saltpepper")
+
+
+def test_poisson_range_per_image_lambda():
+    """poisson5_50: per-image lambda ~ U[5, 50]; the residual variance of
+    each image matches intensity/lam_i ([P] Table 3 variable-lambda)."""
+    cfg = parse_noise_style("poisson5_50")
+    assert not cfg.fixed_lam
+    x = flat_batch(0.2, (16, 64, 64, 1))  # intensity 0.7
+    y, p = add_noise(jax.random.key(11), x, cfg)
+    lam = np.asarray(p["lam"])
+    assert lam.shape == (16,)
+    assert (lam >= 5).all() and (lam <= 50).all()
+    assert lam.std() > 3  # actually varies across images
+    resid = np.asarray(y - x)
+    per_img_var = resid.reshape(16, -1).var(axis=1)
+    np.testing.assert_allclose(per_img_var, 0.7 / lam, rtol=0.12)
+
+
+def test_impulse_range_per_image_alpha():
+    cfg = parse_noise_style("impulse30_60")
+    assert not cfg.fixed_alpha
+    x = flat_batch(0.4, (16, 64, 64, 3))
+    y, p = add_noise(jax.random.key(12), x, cfg)
+    alpha = np.asarray(p["alpha"])
+    assert alpha.shape == (16,)
+    assert (alpha >= 0.3).all() and (alpha <= 0.6).all()
+    changed = np.any(np.asarray(y) != 0.4, axis=-1)
+    np.testing.assert_allclose(changed.reshape(16, -1).mean(axis=1), alpha,
+                               atol=0.03)
+
+
+def test_fixed_configs_unchanged_by_range_support():
+    """The ranged-injector rewrite must keep fixed poisson/impulse noise
+    bit-identical (the PSNR gates are calibrated on these streams)."""
+    x = flat_batch(0.1, (4, 16, 16, 3))
+    for style in ("poisson30", "impulse50"):
+        cfg = parse_noise_style(style)
+        y1, p1 = add_noise(jax.random.key(5), x, cfg)
+        y2, _ = add_noise(jax.random.key(5), x, cfg)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        p = {k: np.asarray(v) for k, v in p1.items()}
+        for v in p.values():
+            assert v.shape == (4,) and (v == v[0]).all()
+
+
+def test_parse_noise_style_ranges_and_roundtrip():
+    from ssdn_tpu.config import NoiseConfig, TrainConfig, to_json
+    from ssdn_tpu.config import train_config_from_json
+
+    c = parse_noise_style("poisson5_50", blind=True)
+    assert (c.lam, c.lam_max) == (5, 50) and not c.fixed_lam
+    c2 = parse_noise_style("impulse30_60", blind=True)
+    assert (c2.alpha, c2.alpha_max) == (0.3, 0.6) and not c2.fixed_alpha
+    assert "[" in c.describe() and "[" in c2.describe()
+    # JSON round-trip with the new optional fields, and with legacy
+    # checkpoints that predate them
+    cfg = TrainConfig(noise=c)
+    rt = train_config_from_json(to_json(cfg))
+    assert rt.noise == c
+    import json
+    d = json.loads(to_json(cfg))
+    del d["noise"]["lam_max"], d["noise"]["alpha_max"]
+    legacy = train_config_from_json(json.dumps(d))
+    assert legacy.noise.fixed_lam and legacy.noise.fixed_alpha

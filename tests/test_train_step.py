@@ -82,6 +82,8 @@ def test_determinism_same_seed():
         (Pipeline.SSDN, "gauss5_50", True, False),   # [B] config 2
         (Pipeline.SSDN, "poisson30", False, False),  # [B] config 3
         (Pipeline.SSDN, "impulse50", False, False),  # [B] config 4
+        (Pipeline.SSDN, "poisson5_50", True, False),   # [P] blind-lambda
+        (Pipeline.SSDN, "impulse30_60", True, False),  # [P] blind-alpha
         (Pipeline.SSDN_MSE, "gauss25", False, True),
         (Pipeline.N2C, "gauss25", False, False),
         (Pipeline.N2N, "gauss25", False, True),
