@@ -131,3 +131,30 @@ def test_batched_eval_poisson_and_impulse():
         b = evaluate_dataset(cfg, params, ds, eval_batch=4)
         np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
                                    atol=1e-3, err_msg=style)
+
+
+def test_batched_eval_blind_modes():
+    """Blind-parameter eval (sigma/lambda/alpha estimated by the net): the
+    posterior consumes the network's own estimate, so batched and serial
+    eval must agree with no true parameter fed in."""
+    import numpy as np
+
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+    from ssdn_tpu.data import open_dataset
+    from ssdn_tpu.infer import evaluate_dataset
+    from ssdn_tpu.train.step import init_state
+
+    ds = open_dataset("synthetic:4:64")
+    for style in ("gauss5_50", "poisson5_50", "impulse30_60"):
+        cfg = TrainConfig(
+            noise=parse_noise_style(style, blind=True),
+            model=ModelConfig(in_channels=3, enc_features=8, dec_features=16,
+                              nin_a_features=32, nin_b_features=16,
+                              compute_dtype="float32"),
+            patch_size=32, batch_size=2, iterations=4,
+        )
+        params = init_state(cfg).params
+        a = evaluate_dataset(cfg, params, ds, eval_batch=1)
+        b = evaluate_dataset(cfg, params, ds, eval_batch=4)
+        np.testing.assert_allclose(a["psnr_per_image"], b["psnr_per_image"],
+                                   atol=1e-3, err_msg=style)
