@@ -47,6 +47,18 @@ from ssdn_tpu.estimator import spd3
 _LOG2PI = math.log(2.0 * math.pi)
 _VAR_EPS = 1e-8      # variance floor for the C=1 path
 _IMPULSE_EPS = 1e-4  # Sigma_x diagonal epsilon for the impulse density
+# Blind-alpha bounds: the estimate is a scaled sigmoid into
+# [_ALPHA_LO, _ALPHA_HI] rather than a raw sigmoid. Measured necessity
+# (round-3 chip smoke, impulse alpha in [0.3,0.6] blind): early in training
+# the mixture density N(y; mu, Sigma_x) is << 1 at every pixel, so the
+# likelihood is maximized by "every pixel is corrupted" — alpha_hat raced
+# 0.31 -> 0.9999 in ~15 steps, the sigmoid mean rounded to exactly 1.0 in
+# fp32, log1p(-alpha) hit -inf and its gradient NaN'd the trunk. The scaled
+# sigmoid keeps the density finite at any network output; the log-barrier
+# regularizer in nll() (below) keeps the estimate off the rail so the
+# (1-alpha)-weighted mu/Sigma gradients stay alive.
+_ALPHA_LO = 0.02
+_ALPHA_HI = 0.98
 # Robustified NLL: the quadratic term uses a Huber penalty on the
 # *standardized* residual z = L^{-1}(y - mu), switching to linear growth
 # beyond _HUBER_DELTA sigmas. Measured necessity (README numerics notes):
@@ -219,7 +231,10 @@ def _prior_logdensity(mu, a, y):
 
 def _impulse_alpha(cfg, noise_params, noise_ch):
     if cfg.value == NoiseValue.BLIND:
-        return jnp.mean(jax.nn.sigmoid(noise_ch), axis=(1, 2))[
+        # per-image scalar: spatial sigmoid-mean, scaled into
+        # [_ALPHA_LO, _ALPHA_HI] (rail-race note at the constants above)
+        s = jnp.mean(jax.nn.sigmoid(noise_ch), axis=(1, 2))
+        return (_ALPHA_LO + (_ALPHA_HI - _ALPHA_LO) * s)[
             :, None, None
         ]  # (B,1,1)
     alpha = jnp.asarray(noise_params["alpha"], jnp.float32)
@@ -288,6 +303,22 @@ def nll(
         )
         loss = jnp.mean(-log_p)
         if blind:
+            # Anti-degeneracy regularizer, the impulse analogue of the
+            # blind-sigma/lambda term: a symmetric log-barrier (Beta prior)
+            # on alpha_hat. The alpha -> 1 direction is degenerate the same
+            # way Sigma_x -> explains-everything is for blind sigma — early
+            # in training it trivially maximizes the mixture likelihood AND
+            # extinguishes the (1-alpha)-weighted mu/Sigma gradient, so
+            # nothing is ever learned (measured: alpha raced to the fp32
+            # rail and NaN'd within 20 steps without this). The barrier
+            # gradient ~ blind_reg/(1-alpha) grows without bound at the
+            # rail while the likelihood pull is bounded by ~1/alpha, so the
+            # early equilibrium is interior (~(1+r)/(1+2r)); once the model
+            # organizes, uncorrupted pixels (density >> 1) pull alpha back
+            # down to the true rate.
+            loss = loss + blind_reg * jnp.mean(
+                -jnp.log(alpha) - jnp.log1p(-alpha)
+            )
             aux["alpha_hat"] = alpha[..., 0, 0]
     else:
         raise ValueError(cfg.model)

@@ -210,10 +210,43 @@ def test_impulse_blind_alpha_estimate():
     loss, aux = nll(jnp.asarray(out), jnp.asarray(y), cfg, {})
     assert bool(jnp.isfinite(loss))
     ah = np.asarray(aux["alpha_hat"])
-    assert ah.shape == (B,) and (ah > 0).all() and (ah < 1).all()
-    # sigmoid spatial mean of the extra channel
-    ref = (1 / (1 + np.exp(-out[..., 9]))).mean(axis=(1, 2))
+    assert ah.shape == (B,) and (ah > 0.02 - 1e-6).all() and (ah < 0.98 + 1e-6).all()
+    # sigmoid spatial mean of the extra channel, scaled into [0.02, 0.98]
+    # (core._ALPHA_LO/_ALPHA_HI — rail-race regression below)
+    ref = 0.02 + 0.96 * (1 / (1 + np.exp(-out[..., 9]))).mean(axis=(1, 2))
     np.testing.assert_allclose(ah, ref, rtol=1e-4)
+    post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, {})
+    assert bool(jnp.isfinite(post).all())
+
+
+def test_impulse_blind_alpha_rail_is_finite_and_repelled():
+    """Regression for the measured blind-alpha runaway (round 3): with the
+    noise channel saturated hard positive (sigmoid == 1.0 in fp32), the loss
+    and its gradient must stay finite, and the gradient w.r.t. the noise
+    channel must be positive (pushing alpha_hat DOWN off the rail) — the
+    log-barrier regularizer dominating the degenerate likelihood pull."""
+    out, y = rand_outputs(3, blind=True, seed=11)
+    out[..., 9] = 40.0  # sigmoid(40) == 1.0 in fp32
+    cfg = NoiseConfig(model=NoiseModel.IMPULSE, value=NoiseValue.BLIND,
+                      alpha=0.5)
+
+    def f(o):
+        loss, _ = nll(o, jnp.asarray(y), cfg, {})
+        return loss
+
+    loss = f(jnp.asarray(out))
+    g = jax.grad(f)(jnp.asarray(out))
+    assert bool(jnp.isfinite(loss))
+    assert bool(jnp.isfinite(g).all())
+    # d loss / d noise_ch > 0 at the high rail => alpha is pulled back
+    # (sigmoid'(40) == 0 in fp32, so the live pull must come through the
+    # scaled-sigmoid bound... assert on the alpha-level derivative instead:
+    # evaluate at a high-but-unsaturated channel value)
+    out2 = out.copy()
+    out2[..., 9] = 4.0  # sigmoid ~ 0.982, alpha_hat ~ 0.963
+    g2 = jax.grad(f)(jnp.asarray(out2))
+    assert float(np.asarray(g2[..., 9]).mean()) > 0.0
+    # posterior stays finite at the rail too
     post = posterior_mean(jnp.asarray(out), jnp.asarray(y), cfg, {})
     assert bool(jnp.isfinite(post).all())
 
