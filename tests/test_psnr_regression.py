@@ -112,6 +112,39 @@ def test_fast_gate_beats_noisy(tmp_path, name, extra, margin):
     )
 
 
+def test_fast_gate_blind_impulse_stability(tmp_path):
+    """Regression gate for the blind-alpha runaway (round 3): before the
+    scaled-sigmoid bound + log-barrier regularizer, impulse30_60 --blind
+    NaN'd within 20 steps (alpha_hat raced to the 'everything corrupted'
+    rail and log1p(-1) NaN'd the trunk) — a failure class only a multi-step
+    trainer run catches. Calibration (CPU, narrow net, this exact shape):
+    alpha_hat 0.49 at step 200 (injected range [0.3,0.6]), eval 18.8 dB vs
+    noisy 13.3 (+5.5) at step 150."""
+    wd = tmp_path / "impulse_blind"
+    evals, noisy = _run_and_collect(
+        wd, NARROW + ["--noise-style", "impulse30_60", "--blind"],
+        iterations=250, eval_interval=50,
+    )
+    best = max(p for _, p in evals)
+    final = dict(evals)[250]
+    assert noisy is not None
+    assert best >= noisy + 3.5, (
+        f"blind impulse: best eval {best:.2f} dB < noisy {noisy:.2f} + 3.5; "
+        f"evals={evals}"
+    )
+    assert final >= best - 1.5, (
+        f"blind impulse: final {final:.2f} collapsed from best {best:.2f}"
+    )
+    # the alpha estimate must sit interior (rail race => ~0.98 or NaN)
+    ah = [
+        rec["alpha_hat"]
+        for rec in map(json.loads, open(wd / "metrics.jsonl"))
+        if "alpha_hat" in rec
+    ]
+    assert ah, "no alpha_hat in train metrics"
+    assert 0.1 < ah[-1] < 0.9, f"alpha_hat off-rail check failed: {ah}"
+
+
 # ---------------------------------------------------------------- slow tier
 
 
