@@ -71,11 +71,15 @@ def _pallas_differential_gate() -> None:
     A/B that reports a pallas number (VERDICT r2 item 6: a bench must not
     report a backend whose kernel fails its differential). Aborts the
     process on mismatch."""
+    import os
+    import re
     import subprocess
     import sys
 
+    test_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "test_pallas_tpu.py")
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py", "-q",
+        [sys.executable, "-m", "pytest", test_path, "-q",
          "-p", "no:cacheprovider", "--noconftest", "-x"],
         capture_output=True, text=True,
     )
@@ -85,6 +89,16 @@ def _pallas_differential_gate() -> None:
         raise SystemExit(
             "compiled Pallas kernel failed its differential tests — "
             "refusing to report a pallas bench number"
+        )
+    m = re.search(r"(\d+) passed", tail)
+    if m is None or int(m.group(1)) == 0:
+        # Every test skipped (e.g. TPU plugin failed to attach and the
+        # requires_tpu guard fired) => the gate proved nothing; a vacuous
+        # pass must not authorize a pallas bench number.
+        sys.stderr.write(tail[-2000:])
+        raise SystemExit(
+            "pallas differential gate ran 0 tests (all skipped — no TPU?) "
+            "— refusing to report a pallas bench number"
         )
     print("# pallas compiled differential gate: passed", flush=True)
 

@@ -103,6 +103,7 @@ def main(argv=None) -> None:
 
         mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)
     os.makedirs(args.output, exist_ok=True)
+    emitted = set()
     for path in paths:
         noisy = to_internal(load_image(path, grayscale=cfg.grayscale))
         if args.tiled == "full":
@@ -120,13 +121,17 @@ def main(argv=None) -> None:
                                         mesh, halo=args.halo)
         stem, ext = os.path.splitext(os.path.basename(path))
         out_path = os.path.join(args.output, f"{stem}{args.suffix}.png")
-        if os.path.exists(out_path):
+        if out_path in emitted:
             # img.png and img.jpg in one input folder must not overwrite
             # each other's output (ADVICE r2): uniquify with the original
-            # extension
+            # extension. Keyed on outputs written THIS run — an
+            # os.path.exists check would treat a previous run's file as a
+            # collision and silently redirect the re-run's fresh result
+            # away from the canonical path.
             out_path = os.path.join(
                 args.output, f"{stem}_{ext.lstrip('.')}{args.suffix}.png"
             )
+        emitted.add(out_path)
         save_image(out_path, den)
         print(f"  {path} -> {out_path} ({den.shape[1]}x{den.shape[0]})")
 

@@ -90,7 +90,7 @@ def main(argv=None) -> None:
     print(f"checkpoint step: {int(state.step)}")
     print(f"noise:   {(eval_noise or cfg.noise).describe()}")
     results = {}
-    for name in datasets:
+    for idx, name in enumerate(datasets):
         ds = open_dataset(name, grayscale=cfg.grayscale)
         res = evaluate_dataset(
             cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
@@ -105,8 +105,8 @@ def main(argv=None) -> None:
         print(f"denoised PSNR mean: {res['psnr_mean']:7.3f} dB")
         if args.save_images:
             # index prefix disambiguates datasets sharing a basename
-            # (/a/kodak vs /b/kodak would otherwise overwrite each other)
-            idx = datasets.index(name)
+            # (/a/kodak vs /b/kodak — or the same spec repeated — would
+            # otherwise overwrite each other)
             subdir = (args.save_images if len(datasets) == 1 else
                       os.path.join(
                           args.save_images,

@@ -61,8 +61,9 @@ class StreamingPatchSampler:
 
     Same purity contract as PatchSampler: sample(step) is a pure function
     of (seed, step). Generation cost is amortized by taking
-    `crops_per_image` crops from each fresh image (k = min(4,
-    (size // patch)^2 or 1)) and parallelized over a small thread pool —
+    `crops_per_image` crops from each fresh image (k = min(16,
+    4 * (size // patch)^2), or 1 when size == patch) and parallelized
+    over a small thread pool —
     measured ~6k patches/s for 64px crops of 128px images, comfortably
     ahead of the ~2.6k/s training step.
     """

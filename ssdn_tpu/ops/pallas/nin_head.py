@@ -59,9 +59,9 @@ def _nonneg(x):
 
 
 def _pick_tile(m: int) -> int:
-    # 2048 rows: ~9 MB live VMEM with double-buffered row blocks (4096
-    # OOMed the 16 MB scoped-vmem limit on v5e)
-    for tm in (2048, 1024, 512, 4096, 256):
+    # 2048 rows: ~9 MB live VMEM with double-buffered row blocks (tm=4096
+    # OOMed the 16 MB scoped-vmem limit on v5e — do not re-add it)
+    for tm in (2048, 1024, 512, 256):
         if m % tm == 0:
             return tm
     return 0
@@ -74,11 +74,15 @@ def nin_head_supported(m: int) -> bool:
 # ------------------------------ forward ------------------------------
 
 
-def _make_fwd_kernel(k: int):
+def _make_fwd_kernel(k: int, save_h1: bool):
     def kernel(*refs):
         x_refs = refs[:k]
         wa_refs = refs[k:2 * k]
-        ba_ref, wb_ref, bb_ref, wc_ref, bc_ref, out_ref, h1_ref = refs[2 * k:]
+        if save_h1:
+            (ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+             out_ref, h1_ref) = refs[2 * k:]
+        else:
+            ba_ref, wb_ref, bb_ref, wc_ref, bc_ref, out_ref = refs[2 * k:]
         dt = x_refs[0].dtype
         acc = jnp.dot(_lrelu(x_refs[0][:]), wa_refs[0][:],
                       preferred_element_type=jnp.float32)
@@ -86,7 +90,8 @@ def _make_fwd_kernel(k: int):
             acc += jnp.dot(_lrelu(x_refs[i][:]), wa_refs[i][:],
                            preferred_element_type=jnp.float32)
         h1 = _lrelu(acc + ba_ref[:].astype(jnp.float32)).astype(dt)
-        h1_ref[:] = h1
+        if save_h1:
+            h1_ref[:] = h1
         h2 = _lrelu(
             jnp.dot(h1, wb_ref[:], preferred_element_type=jnp.float32)
             + bb_ref[:].astype(jnp.float32)
@@ -99,7 +104,12 @@ def _make_fwd_kernel(k: int):
     return kernel
 
 
-def _fwd_call(xs, was, ba, wb, bb, wc, bc, *, tm: int, interpret: bool):
+def _fwd_call(xs, was, ba, wb, bb, wc, bc, *, tm: int, interpret: bool,
+              save_h1: bool = True):
+    """save_h1=False is the no-grad/inference variant: XLA cannot DCE one
+    output of a custom call, so the primal must not allocate the (M, Na)
+    residual only the VJP needs (at full-image eval that is ~100s of MB of
+    HBM writes per forward)."""
     k = len(xs)
     m = xs[0].shape[0]
     na, nb, nc = was[0].shape[1], wb.shape[1], wc.shape[1]
@@ -118,21 +128,21 @@ def _fwd_call(xs, was, ba, wb, bb, wc, bc, *, tm: int, interpret: bool):
             pl.BlockSpec((1, nc), const, memory_space=pltpu.VMEM),
         ]
     )
-    out, h1 = pl.pallas_call(
-        _make_fwd_kernel(k),
+    out_specs = [pl.BlockSpec((tm, nc), row, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((m, nc), jnp.float32)]
+    if save_h1:
+        out_specs.append(pl.BlockSpec((tm, na), row,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((m, na), xs[0].dtype))
+    outs = pl.pallas_call(
+        _make_fwd_kernel(k, save_h1),
         grid=(m // tm,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((tm, nc), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, na), row, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, nc), jnp.float32),
-            jax.ShapeDtypeStruct((m, na), xs[0].dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*xs, *was, ba, wb, bb, wc, bc)
-    return out, h1
+    return (outs[0], outs[1]) if save_h1 else (outs[0], None)
 
 
 # ------------------------------ backward ------------------------------
@@ -278,7 +288,7 @@ def fused_nin_head(xs, was, ba, wb, bb, wc, bc):
     out, _ = _fwd_call(
         tuple(xs), tuple(was), ba.reshape(1, -1), wb, bb.reshape(1, -1),
         wc, bc.reshape(1, -1), tm=_pick_tile(xs[0].shape[0]),
-        interpret=INTERPRET,
+        interpret=INTERPRET, save_h1=False,
     )
     return out
 

@@ -150,6 +150,15 @@ class Trainer:
             if eval_data
             else None
         )
+        if getattr(self.eval_dataset, "streaming", False):
+            # Fail fast: evaluate_dataset rejects streaming datasets, but
+            # only at the FIRST eval — with the default eval_interval that
+            # would be 10k steps of wasted chip time before the error.
+            raise ValueError(
+                f"eval_data={eval_data!r} is a streaming (unbounded) "
+                "dataset; evaluation needs a fixed finite set — use e.g. "
+                "'synthetic:8' or an image folder"
+            )
         # Measured guardrail (round 3, tests/test_psnr_regression.py
         # docstring): a 5-level U-Net trained on patches < 64 px does not
         # extrapolate to larger inference sizes — its deepest stages only
@@ -258,7 +267,7 @@ class Trainer:
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             print(f"resumed from step {int(state.step)}", flush=True)
-        elif not resume or self.ckpt.latest_step() is None:
+        else:
             # No checkpoint to resume => this run starts from step 0 even
             # with resume=True (reused workdir whose ckpt/ was cleared but
             # best_psnr.json kept, ADVICE r2): stale best state applies

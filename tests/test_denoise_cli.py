@@ -80,6 +80,33 @@ def test_denoise_single_file_sequential(trained, tmp_path):
     assert (outdir / "img0_denoised.png").exists()
 
 
+def test_denoise_rerun_and_extension_collision(trained, tmp_path):
+    """img.png + img.jpg in one folder uniquify (ADVICE r2); re-running
+    into the same output dir must REFRESH the canonical paths, not
+    redirect the new results away because last run's files exist."""
+    import shutil
+
+    from ssdn_tpu.cli.denoise import main as denoise_main
+
+    indir, _ = _write_noisy(tmp_path, n=1)
+    shutil.copyfile(indir / "img0.png", indir / "img0.jpg")
+    outdir = tmp_path / "out_coll"
+    args = ["--workdir", str(trained), "--input", str(indir),
+            "--output", str(outdir), "--param", "25"]
+    denoise_main(args)
+    canonical = outdir / "img0_denoised.png"
+    uniquified = {p.name for p in outdir.glob("*_denoised.png")} - {
+        canonical.name}
+    assert canonical.exists()
+    assert len(uniquified) == 1  # the extension-tagged second output
+    before = canonical.stat().st_mtime_ns
+    denoise_main(args)
+    # same two filenames, canonical rewritten in place
+    assert {p.name for p in outdir.glob("*_denoised.png")} == (
+        uniquified | {canonical.name})
+    assert canonical.stat().st_mtime_ns > before
+
+
 def test_denoise_default_param_from_config(trained, tmp_path):
     from ssdn_tpu.cli.denoise import main as denoise_main
 

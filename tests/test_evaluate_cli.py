@@ -49,6 +49,25 @@ def test_multi_dataset_table_json(workdir, tmp_path, capsys):
     assert len(payload["datasets"]["synthetic:1:64"]["psnr_per_image"]) == 1
 
 
+def test_save_images_duplicate_spec_distinct_dirs(workdir, tmp_path):
+    """Repeated identical --dataset specs must land in distinct indexed
+    subdirs (datasets.index() collapsed both to index 0 and the second
+    pass overwrote the first)."""
+    from ssdn_tpu.cli.evaluate import main as eval_main
+
+    imgdir = tmp_path / "imgs"
+    eval_main([
+        "--workdir", str(workdir),
+        "--dataset", "synthetic:1:64",
+        "--dataset", "synthetic:1:64",
+        "--save-images", str(imgdir),
+    ])
+    subdirs = sorted(p.name for p in imgdir.iterdir() if p.is_dir())
+    assert subdirs == ["00_synthetic_1_64", "01_synthetic_1_64"]
+    for sub in subdirs:
+        assert list((imgdir / sub).glob("*.png"))
+
+
 def test_single_dataset_json_backward_compatible(workdir, tmp_path):
     from ssdn_tpu.cli.evaluate import main as eval_main
 

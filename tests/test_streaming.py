@@ -68,6 +68,18 @@ def test_eval_rejects_streaming():
         evaluate_dataset(TrainConfig(), None, ds)
 
 
+def test_trainer_rejects_streaming_eval(tmp_path):
+    # Fail-fast at construction — without this the ValueError would only
+    # fire at the FIRST eval, potentially 10k steps into a chip run.
+    from ssdn_tpu.config import TrainConfig
+    from ssdn_tpu.train.loop import Trainer
+
+    with pytest.raises(ValueError, match="streaming"):
+        Trainer(TrainConfig(), str(tmp_path),
+                train_data="synthetic:inf:64",
+                eval_data="synthetic:inf:64")
+
+
 def test_grayscale_streaming_sampler():
     ds = open_dataset("synthetic:inf:64", grayscale=True)
     s = make_sampler(ds, 32, 4, seed=0)
