@@ -26,14 +26,16 @@ import os
 import numpy as np
 
 from ssdn_tpu.config import NoiseModel
-from ssdn_tpu.train.loop import load_config
-from ssdn_tpu.train.step import init_state
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workdir", required=True,
+    p.add_argument("--workdir", default=None,
                    help="training workdir containing config.json and ckpt/")
+    p.add_argument("--pretrained", default=None,
+                   help="bundled pretrained model name (see "
+                        "ssdn_tpu.zoo.available()) or an exported .npz "
+                        "path — denoise without a training workdir")
     p.add_argument("--input", required=True,
                    help="a noisy image file or a folder of them")
     p.add_argument("--output", required=True, help="output directory")
@@ -76,15 +78,14 @@ def to_internal_param(cfg, value: float) -> np.ndarray:
 def main(argv=None) -> None:
     import jax.numpy as jnp
 
-    from ssdn_tpu.cli.evaluate import _restore
+    from ssdn_tpu.cli.evaluate import _load_model
     from ssdn_tpu.infer import denoise_image, make_denoise_fn
     from ssdn_tpu.utils import list_images, load_image, save_image
     from ssdn_tpu.utils.images import to_internal
 
     args = build_parser().parse_args(argv)
-    cfg = load_config(args.workdir)
-    state = _restore(args, cfg, init_state(cfg))
-    print(f"checkpoint step: {int(state.step)}")
+    cfg, params, step = _load_model(args)
+    print(f"checkpoint step: {step}")
     print(f"noise model:     {cfg.noise.describe()}")
 
     if os.path.isdir(args.input):
@@ -107,17 +108,17 @@ def main(argv=None) -> None:
     for path in paths:
         noisy = to_internal(load_image(path, grayscale=cfg.grayscale))
         if args.tiled == "full":
-            den = denoise_image(fn, state.params, noisy, param)
+            den = denoise_image(fn, params, noisy, param)
         elif args.tiled == "sequential":
             from ssdn_tpu.infer.tiled import tiled_denoise_sequential
 
-            den = tiled_denoise_sequential(cfg, state.params, noisy, param,
+            den = tiled_denoise_sequential(cfg, params, noisy, param,
                                            tile_w=args.tile_w,
                                            halo=args.halo)
         else:
             from ssdn_tpu.infer.tiled import tiled_denoise_sharded
 
-            den = tiled_denoise_sharded(cfg, state.params, noisy, param,
+            den = tiled_denoise_sharded(cfg, params, noisy, param,
                                         mesh, halo=args.halo)
         stem, ext = os.path.splitext(os.path.basename(path))
         out_path = os.path.join(args.output, f"{stem}{args.suffix}.png")

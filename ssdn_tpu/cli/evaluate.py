@@ -25,8 +25,12 @@ from ssdn_tpu.train.step import init_state
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workdir", required=True,
+    p.add_argument("--workdir", default=None,
                    help="training workdir containing config.json and ckpt/")
+    p.add_argument("--pretrained", default=None,
+                   help="bundled pretrained model name (see "
+                        "ssdn_tpu.zoo.available()) or an exported .npz "
+                        "path — evaluate without a training workdir")
     p.add_argument("--dataset", required=True, action="append",
                    help="image folder | .h5 | synthetic[:n[:size]]; repeat "
                         "the flag or comma-separate to build the reference-"
@@ -60,9 +64,7 @@ def main(argv=None) -> None:
                         "all devices (each chip denoises different images)")
     args = p.parse_args(argv)
 
-    cfg = load_config(args.workdir)
-    state = init_state(cfg)
-    state = _restore(args, cfg, state)
+    cfg, params, step = _load_model(args)
     datasets = [d for spec in args.dataset for d in spec.split(",") if d]
     eval_noise = (
         parse_noise_style(args.noise_style, blind=cfg.noise.value.value == "blind")
@@ -87,13 +89,13 @@ def main(argv=None) -> None:
             print(f"[data-parallel] eval batch -> {args.eval_batch} "
                   "(one image per device)")
 
-    print(f"checkpoint step: {int(state.step)}")
+    print(f"checkpoint step: {step}")
     print(f"noise:   {(eval_noise or cfg.noise).describe()}")
     results = {}
     for idx, name in enumerate(datasets):
         ds = open_dataset(name, grayscale=cfg.grayscale)
         res = evaluate_dataset(
-            cfg, state.params, ds, eval_noise=eval_noise, seed=args.seed,
+            cfg, params, ds, eval_noise=eval_noise, seed=args.seed,
             mode=args.tiled, mesh=mesh, halo=args.halo, tile_w=args.tile_w,
             eval_batch=args.eval_batch,
         )
@@ -112,7 +114,7 @@ def main(argv=None) -> None:
                           args.save_images,
                           f"{idx:02d}_"
                           f"{os.path.basename(name.replace(':', '_'))}"))
-            _save_images(cfg, state.params, ds, args, eval_noise, subdir)
+            _save_images(cfg, params, ds, args, eval_noise, subdir)
 
     # the reference's eval artifact is a PSNR *table* over the eval sets
     if len(datasets) > 1:
@@ -136,6 +138,20 @@ def main(argv=None) -> None:
         }
         with open(args.json_out, "w") as f:
             json.dump(payload, f, indent=2)
+
+
+def _load_model(args):
+    """Resolve (cfg, params, step) from --pretrained or --workdir."""
+    if getattr(args, "pretrained", None):
+        from ssdn_tpu import zoo
+
+        cfg, params, meta = zoo.load(args.pretrained)
+        return cfg, params, int(meta.get("step", -1))
+    if not args.workdir:
+        raise SystemExit("one of --workdir / --pretrained is required")
+    cfg = load_config(args.workdir)
+    state = _restore(args, cfg, init_state(cfg))
+    return cfg, state.params, int(state.step)
 
 
 def _restore(args, cfg, state):

@@ -1,0 +1,50 @@
+"""Export a training workdir's checkpoint as a single-file pretrained
+artifact for ssdn_tpu.zoo (params + config + provenance, no optimizer
+state — ~5 MB for the paper-size net vs ~16 MB of Orbax state).
+
+Usage:
+  python tools/export_pretrained.py WORKDIR OUT.npz \
+      [--which auto|best|latest] [--note "..."]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> None:
+    import jax
+
+    # export is pure host work; never touch (or wait on) the TPU tunnel
+    jax.config.update("jax_platforms", "cpu")
+
+    from ssdn_tpu import zoo
+    from ssdn_tpu.cli.evaluate import _restore
+    from ssdn_tpu.train.loop import load_config
+    from ssdn_tpu.train.step import init_state
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("workdir")
+    p.add_argument("out", help="output .npz path")
+    p.add_argument("--which", default="auto",
+                   choices=["auto", "best", "latest"])
+    p.add_argument("--note", default="", help="free-form provenance note")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.workdir)
+    state = _restore(args, cfg, init_state(cfg))
+    meta = {
+        "step": int(state.step),
+        "noise": cfg.noise.describe(),
+        "which": args.which,
+        "note": args.note,
+    }
+    zoo.save(args.out, cfg, state.params, meta)
+    n = sum(v.size for v in jax.tree_util.tree_leaves(state.params))
+    print(f"wrote {args.out}: step {meta['step']}, {n} params, "
+          f"noise {meta['noise']}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
