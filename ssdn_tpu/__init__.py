@@ -21,7 +21,8 @@ Layout (SURVEY.md §7.1):
   train/      train state, jitted step, LR schedule, trainer loop, checkpoints
   infer/      full-image padded inference + tiled inference
   utils/      PSNR, image I/O, logging
-  cli/        train / evaluate / dataset tool entry points
+  cli/        train / evaluate / denoise / dataset tool entry points
+  zoo.py      pretrained single-file artifacts (bundled: pretrained/)
 """
 
 __version__ = "0.1.0"
