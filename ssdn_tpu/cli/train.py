@@ -38,9 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--blind",
-        action="store_true",
-        help="estimate the noise parameter with the network instead of "
-        "feeding the true value (SURVEY.md §2.5 blind-sigma)",
+        nargs="?",
+        const="variable",
+        default=None,
+        choices=["variable", "const"],
+        help="estimate the noise parameter instead of feeding the true "
+        "value (SURVEY.md §2.5 blind-sigma; reference NoiseValue modes): "
+        "'variable' (bare --blind; per-image, network-estimated) or "
+        "'const' (corpus-constant, learned as a free scalar)",
     )
     p.add_argument("--train-data", default="synthetic:64:128",
                    help="image folder | .h5 file | synthetic[:n[:size]]")

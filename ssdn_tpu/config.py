@@ -27,13 +27,22 @@ class NoiseModel(str, enum.Enum):
 class NoiseValue(str, enum.Enum):
     """How the noise parameter is obtained at loss/posterior time.
 
+    The reference's ``NoiseValue`` enum has three modes (SURVEY.md §5.6:
+    "known / constant-blind / variable-blind"):
+
     KNOWN: the true per-image parameter used by the injector is fed to the
-    estimator.  BLIND: the network emits an extra channel from which the
-    parameter is estimated (SURVEY.md §2.5 "blind-sigma").
+    estimator.  BLIND: per-image variable-blind — the network emits an
+    extra output channel from which the parameter is estimated per image
+    (SURVEY.md §2.5 "blind-sigma").  BLIND_CONST: constant-blind — the
+    parameter is assumed constant over the corpus but unknown, and is
+    learned as a single free scalar trained jointly with the network by
+    the same NLL ([P] §3.1's "fixed but unknown" case; no extra output
+    channel).
     """
 
     KNOWN = "known"
     BLIND = "blind"
+    BLIND_CONST = "blind_const"
 
 
 class Pipeline(str, enum.Enum):
@@ -103,10 +112,13 @@ _STYLE_RE = re.compile(
 )
 
 
-def parse_noise_style(style: str, blind: bool = False) -> NoiseConfig:
+def parse_noise_style(style: str, blind=False) -> NoiseConfig:
     """Parse reference-style noise strings: ``gauss25``, ``gauss5_50``,
     ``poisson30``, ``poisson5_50``, ``impulse50``, ``impulse30_60``
     (impulse arguments are percent; a range means a per-image uniform draw).
+
+    blind: False/None -> KNOWN; True or "variable" -> BLIND (network
+    estimate); "const" -> BLIND_CONST (learned global scalar).
 
     SURVEY.md §2.1 noise-synthesis row; [B] configs 1-4 plus [P] Table 3's
     variable-parameter rows.
@@ -115,7 +127,14 @@ def parse_noise_style(style: str, blind: bool = False) -> NoiseConfig:
     if not m:
         raise ValueError(f"unparseable noise style: {style!r}")
     kind, a, b = m.group("kind"), m.group("a"), m.group("b")
-    value = NoiseValue.BLIND if blind else NoiseValue.KNOWN
+    if blind in (False, None):
+        value = NoiseValue.KNOWN
+    elif blind in (True, "variable", NoiseValue.BLIND):
+        value = NoiseValue.BLIND
+    elif blind in ("const", NoiseValue.BLIND_CONST):
+        value = NoiseValue.BLIND_CONST
+    else:
+        raise ValueError(f"unknown blind mode: {blind!r}")
     if kind == "gauss":
         lo = float(a) if a is not None else 25.0
         hi = float(b) if b is not None else lo
@@ -268,7 +287,8 @@ def n_output_channels(pipeline: Pipeline, noise: NoiseConfig, channels: int) -> 
     """Network head width for a pipeline/noise combo (SURVEY.md §2.4).
 
     SSDN: C (mu) + C(C+1)/2 (covariance params) + 1 if the noise parameter is
-    estimated by the network. Other pipelines regress the image directly.
+    estimated by the network (BLIND only — BLIND_CONST learns a free scalar
+    outside the network head). Other pipelines regress the image directly.
     """
     if pipeline == Pipeline.SSDN:
         n = channels + channels * (channels + 1) // 2

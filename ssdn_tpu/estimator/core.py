@@ -13,6 +13,12 @@ noise parameter is blind-estimated. Per noise model [P]:
         -blind_reg * sigma_hat discouraging the degenerate Sigma_x-explains-
         everything solution ([P] §3.1; coefficient configurable — flagged
         "re-verify" in SURVEY.md §2.5).
+  * Constant-blind (NoiseValue.BLIND_CONST, any model): the parameter is
+        corpus-constant but unknown; sigma/s/alpha come from a learned free
+        scalar (params["noise_scalar"]["raw"], threaded in via
+        noise_params["raw_scale"]) through the same positivity maps and
+        regularizers — the reference NoiseValue's third mode (SURVEY.md
+        §5.6 "known / constant-blind / variable-blind").
   * Poisson lam: y = Poisson(lam (x+1/2))/lam - 1/2 approximated as
         heteroscedastic Gaussian with per-channel variance
         max(mu + 1/2, eps)/lam substituted for sigma^2 (diagonal).
@@ -120,6 +126,15 @@ def estimate_sigma(noise_ch: jax.Array) -> jax.Array:
     return jnp.mean(jax.nn.softplus(noise_ch), axis=(1, 2))
 
 
+def _const_scale(noise_params: Dict[str, jax.Array], batch: int) -> jax.Array:
+    """BLIND_CONST noise scale (B,): softplus of the learned free scalar
+    (``params["noise_scalar"]["raw"]``, threaded in as ``raw_scale`` by the
+    train step / inference paths). Same positivity map as the variable-blind
+    channel so the two modes share units and regularizer form."""
+    raw = jnp.asarray(noise_params["raw_scale"], jnp.float32)
+    return jnp.broadcast_to(jax.nn.softplus(raw)[None], (batch,))
+
+
 def _noise_variance(
     cfg: NoiseConfig,
     noise_params: Dict[str, jax.Array],
@@ -133,6 +148,8 @@ def _noise_variance(
     if cfg.model == NoiseModel.GAUSSIAN:
         if cfg.value == NoiseValue.BLIND:
             sigma = estimate_sigma(noise_ch)  # (B,)
+        elif cfg.value == NoiseValue.BLIND_CONST:
+            sigma = _const_scale(noise_params, mu.shape[0])
         else:
             # scalar (training injector, shared value) or (B,) (batched
             # eval: one value per image) — internal [0,1] units either way
@@ -155,6 +172,14 @@ def _noise_variance(
             # the Gaussian one (s and sigma are both stds in the internal
             # [0,1] range, ~0.13 at lam=30).
             s = estimate_sigma(noise_ch)  # (B,)
+            var = jnp.maximum(mu + 0.5, 1e-3) * (
+                2.0 * (s ** 2)[:, None, None, None]
+            )
+            return var.astype(jnp.float32), s
+        if cfg.value == NoiseValue.BLIND_CONST:
+            # constant-blind lambda: the same s parameterization, but s is
+            # the learned free scalar instead of a network output
+            s = _const_scale(noise_params, mu.shape[0])
             var = jnp.maximum(mu + 0.5, 1e-3) * (
                 2.0 * (s ** 2)[:, None, None, None]
             )
@@ -237,6 +262,11 @@ def _impulse_alpha(cfg, noise_params, noise_ch):
         return (_ALPHA_LO + (_ALPHA_HI - _ALPHA_LO) * s)[
             :, None, None
         ]  # (B,1,1)
+    if cfg.value == NoiseValue.BLIND_CONST:
+        # constant-blind alpha: the learned free scalar through the same
+        # scaled sigmoid (scalar — broadcasts over (B,H,W))
+        raw = jnp.asarray(noise_params["raw_scale"], jnp.float32)
+        return _ALPHA_LO + (_ALPHA_HI - _ALPHA_LO) * jax.nn.sigmoid(raw)
     alpha = jnp.asarray(noise_params["alpha"], jnp.float32)
     return alpha.reshape((-1,) + (1,) * 2) if alpha.ndim else alpha
 
@@ -271,7 +301,10 @@ def nll(
     out = out.astype(jnp.float32)
     y = y.astype(jnp.float32)
     c = y.shape[-1]
+    # BLIND uses an extra network channel; BLIND_CONST estimates too, but
+    # through the learned free scalar (noise_params["raw_scale"]) instead
     blind = cfg.value == NoiseValue.BLIND
+    blind_est = cfg.value in (NoiseValue.BLIND, NoiseValue.BLIND_CONST)
     mu, a, noise_ch = split_outputs(out, c, blind, bound=bound)
     aux = {}
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
@@ -282,7 +315,7 @@ def nll(
             w = w / jnp.mean(w)
             pix_nll = w * pix_nll
         loss = jnp.mean(pix_nll)
-        if blind:
+        if blind_est:
             # anti-degeneracy regularizer, same form for both blind models
             # (scale = sigma_hat for Gaussian, s_hat for Poisson — see
             # _noise_variance)
@@ -302,7 +335,7 @@ def nll(
             jnp.log1p(-alpha + 1e-12) + log_n,
         )
         loss = jnp.mean(-log_p)
-        if blind:
+        if blind_est:
             # Anti-degeneracy regularizer, the impulse analogue of the
             # blind-sigma/lambda term: a symmetric log-barrier (Beta prior)
             # on alpha_hat. The alpha -> 1 direction is degenerate the same
@@ -319,7 +352,7 @@ def nll(
             loss = loss + blind_reg * jnp.mean(
                 -jnp.log(alpha) - jnp.log1p(-alpha)
             )
-            aux["alpha_hat"] = alpha[..., 0, 0]
+            aux["alpha_hat"] = alpha[..., 0, 0] if alpha.ndim else alpha
     else:
         raise ValueError(cfg.model)
     aux["mu_mse"] = jnp.mean((mu - y) ** 2)
@@ -342,7 +375,7 @@ def posterior_mean(
     out = out.astype(jnp.float32)
     y = y.astype(jnp.float32)
     c = y.shape[-1]
-    blind = cfg.value == NoiseValue.BLIND
+    blind = cfg.value == NoiseValue.BLIND  # extra channel only for BLIND
     mu, a, noise_ch = split_outputs(out, c, blind, bound=bound)
     if cfg.model in (NoiseModel.GAUSSIAN, NoiseModel.POISSON):
         var, _ = _noise_variance(cfg, noise_params, mu, noise_ch)

@@ -42,7 +42,8 @@ def make_denoise_fn(cfg: TrainConfig):
             head_backend=cfg.model.head_backend,
         )
         if cfg.pipeline == Pipeline.SSDN:
-            noise_params = _noise_param_dict(cfg.noise, sigma_or_param)
+            noise_params = runtime_noise_params(cfg.noise, params,
+                                                sigma_or_param)
             return estimator.posterior_mean(out, y, cfg.noise, noise_params,
                                             bound=cfg.bound_outputs)
         c = y.shape[-1]
@@ -59,6 +60,18 @@ def _noise_param_dict(noise: NoiseConfig, vec):
     if noise.model == NoiseModel.POISSON:
         return {"lam": vec}
     return {"alpha": vec}
+
+
+def runtime_noise_params(noise: NoiseConfig, params, vec):
+    """Estimator noise_params for inference: the CLI/true param vec, plus —
+    for BLIND_CONST models — the learned free scalar from the checkpointed
+    params (which the estimator reads instead of the vec)."""
+    from ssdn_tpu.config import NoiseValue
+
+    d = _noise_param_dict(noise, vec)
+    if noise.value == NoiseValue.BLIND_CONST:
+        d["raw_scale"] = params["noise_scalar"]["raw"]
+    return d
 
 
 def _true_param(noise: NoiseConfig, injected: Dict) -> jax.Array:

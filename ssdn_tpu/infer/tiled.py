@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ssdn_tpu import estimator
 from ssdn_tpu.config import Pipeline, TrainConfig
-from ssdn_tpu.infer.full import _noise_param_dict
+from ssdn_tpu.infer.full import runtime_noise_params
 from ssdn_tpu.models import blindspot_unet
 from ssdn_tpu.train.step import pipeline_blindspot
 
@@ -66,7 +66,8 @@ def _denoise_tile(cfg: TrainConfig, params, y, noise_vec):
     )
     if cfg.pipeline == Pipeline.SSDN:
         return estimator.posterior_mean(
-            out, y, cfg.noise, _noise_param_dict(cfg.noise, noise_vec),
+            out, y, cfg.noise, runtime_noise_params(cfg.noise, params,
+                                                    noise_vec),
             bound=cfg.bound_outputs,
         )
     return estimator.mu_only(out, y.shape[-1])

@@ -14,6 +14,7 @@ exact with no RNG state to save beyond the step counter (SURVEY.md §7.4
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Tuple
 
 import flax.struct
@@ -67,8 +68,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return adam
 
 
+def _blind_const_init(cfg: TrainConfig) -> jnp.ndarray:
+    """Raw init for the BLIND_CONST free scalar. Gaussian/Poisson: softplus
+    maps it to the noise scale (std in internal [0,1] units) — start at a
+    neutral mid-range 0.1 (~sigma 25/255). Impulse: the scaled sigmoid maps
+    it to alpha — start at 0 (alpha = 0.5)."""
+    from ssdn_tpu.config import NoiseModel
+
+    if cfg.noise.model == NoiseModel.IMPULSE:
+        return jnp.zeros((), jnp.float32)
+    return jnp.asarray(math.log(math.expm1(0.1)), jnp.float32)
+
+
 def init_state(cfg: TrainConfig) -> TrainState:
-    from ssdn_tpu.config import n_output_channels
+    from ssdn_tpu.config import NoiseValue, n_output_channels
 
     c = cfg.model.in_channels
     n_out = n_output_channels(cfg.pipeline, cfg.noise, c)
@@ -82,6 +95,12 @@ def init_state(cfg: TrainConfig) -> TrainState:
         nin_a=cfg.model.nin_a_features,
         nin_b=cfg.model.nin_b_features,
     )
+    if cfg.pipeline == Pipeline.SSDN and cfg.noise.value == NoiseValue.BLIND_CONST:
+        # constant-blind: the noise parameter is a free scalar trained by
+        # the same NLL (reference NoiseValue "unknown-constant", SURVEY.md
+        # §5.6). Same {name: {leaf: array}} shape as the conv entries so
+        # param_count / checkpointing / sharding treat it uniformly.
+        params["noise_scalar"] = {"raw": _blind_const_init(cfg)}
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
@@ -112,8 +131,14 @@ def make_train_step(cfg: TrainConfig):
         def loss_fn(params):
             if cfg.pipeline == Pipeline.SSDN:
                 out = forward(params, y)
+                np_ = noise_params
+                if "noise_scalar" in params:
+                    # BLIND_CONST: thread the learned scalar into the
+                    # estimator (gradient flows to it through the NLL)
+                    np_ = {**noise_params,
+                           "raw_scale": params["noise_scalar"]["raw"]}
                 loss, aux = estimator.nll(
-                    out, y, cfg.noise, noise_params,
+                    out, y, cfg.noise, np_,
                     blind_reg=cfg.blind_reg, beta=cfg.nll_beta,
                     robust=cfg.robust_nll, bound=cfg.bound_outputs,
                 )
