@@ -66,8 +66,16 @@ def main(argv=None) -> None:
 
     cfg, params, step = _load_model(args)
     datasets = [d for spec in args.dataset for d in spec.split(",") if d]
+    # --noise-style overrides the noise *parameters* but must preserve the
+    # trained NoiseValue mode: a BLIND_CONST checkpoint keeps reading its
+    # learned scalar, a BLIND one its head channel (VERDICT r3 weak #3 —
+    # the old mapping rebuilt BLIND_CONST as KNOWN, silently swapping the
+    # learned scalar for the CLI parameter).
+    blind_mode = {"blind": "variable", "blind_const": "const"}.get(
+        cfg.noise.value.value, False
+    )
     eval_noise = (
-        parse_noise_style(args.noise_style, blind=cfg.noise.value.value == "blind")
+        parse_noise_style(args.noise_style, blind=blind_mode)
         if args.noise_style
         else None
     )

@@ -135,6 +135,21 @@ def parse_noise_style(style: str, blind=False) -> NoiseConfig:
         value = NoiseValue.BLIND_CONST
     else:
         raise ValueError(f"unknown blind mode: {blind!r}")
+    if value == NoiseValue.BLIND_CONST and b is not None:
+        # constant-blind assumes a corpus-constant parameter; with a ranged
+        # style the injector draws a different value per image while the
+        # loss fits ONE scalar — the model is mis-specified and the learned
+        # scalar converges to an effective average of the range (ADVICE r3).
+        import warnings
+
+        warnings.warn(
+            f"noise style {style!r} draws a per-image parameter but "
+            "blind='const' learns a single corpus-constant scalar — the "
+            "estimate will fit the range's effective mean; use "
+            "blind='variable' for per-image estimation",
+            UserWarning,
+            stacklevel=2,
+        )
     if kind == "gauss":
         lo = float(a) if a is not None else 25.0
         hi = float(b) if b is not None else lo

@@ -32,12 +32,27 @@ B, H, W = 2, 4, 5
 
 
 def test_parse_blind_modes():
+    import warnings
+
+    import pytest
+
     assert parse_noise_style("gauss25").value == NoiseValue.KNOWN
     assert parse_noise_style("gauss25", blind=True).value == NoiseValue.BLIND
     assert (parse_noise_style("gauss25", blind="variable").value
             == NoiseValue.BLIND)
-    assert (parse_noise_style("gauss5_50", blind="const").value
-            == NoiseValue.BLIND_CONST)
+    # const + ranged style is accepted but mis-specified (the scalar fits
+    # the range's effective mean) — it must warn loudly (ADVICE r3)
+    with pytest.warns(UserWarning, match="corpus-constant"):
+        assert (parse_noise_style("gauss5_50", blind="const").value
+                == NoiseValue.BLIND_CONST)
+    # fixed-parameter const (the intended use) must stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert (parse_noise_style("gauss25", blind="const").value
+                == NoiseValue.BLIND_CONST)
+        # variable-blind over a range is well-specified: no warning
+        assert (parse_noise_style("gauss5_50", blind="variable").value
+                == NoiseValue.BLIND)
 
 
 def test_no_extra_channel():

@@ -152,6 +152,35 @@ def test_batched_eval_poisson_and_impulse():
                                    atol=1e-3, err_msg=style)
 
 
+def test_noise_style_override_preserves_blind_const(tmp_path, capsys):
+    """A --noise-style override on a BLIND_CONST checkpoint must keep the
+    constant-blind estimator mode (the learned scalar), not silently
+    rebuild the eval noise as KNOWN (VERDICT r3 weak #3)."""
+    from ssdn_tpu.cli.evaluate import main as eval_main
+    from ssdn_tpu.cli.train import main as train_main
+
+    wd = tmp_path / "bc"
+    train_main([
+        "--workdir", str(wd), "--train-data", "synthetic:8:64",
+        "--eval-data", "synthetic:2:64", "--iterations", "4",
+        "--batch-size", "2", "--patch-size", "32",
+        "--eval-interval", "0", "--snapshot-interval", "4",
+        "--log-interval", "0", "--noise-style", "gauss25",
+        "--blind", "const",
+        "--enc-features", "8", "--dec-features", "16",
+        "--nin-a-features", "32", "--nin-b-features", "16",
+    ])
+    capsys.readouterr()
+    eval_main([
+        "--workdir", str(wd),
+        "--dataset", "synthetic:2:64",
+        "--noise-style", "gauss30",
+    ])
+    text = capsys.readouterr().out
+    # the override changed the injected sigma but kept the estimator mode
+    assert "gauss sigma=30 (blind_const)" in text
+
+
 def test_batched_eval_blind_modes():
     """Blind-parameter eval (sigma/lambda/alpha estimated by the net): the
     posterior consumes the network's own estimate, so batched and serial
