@@ -180,12 +180,16 @@ class ModelConfig:
     blindspot: bool = True
     # Numerics (SURVEY.md §2.5 + the measured stability matrix in README):
     # with the beta=1 NLL weighting (TrainConfig.nll_beta) the bf16 MXU
-    # fast path trains stably (validated 11k+ steps; the raw beta=0 NLL
-    # diverges in every precision below fp32/highest). For the reference
-    # repo's exact numerics use TrainConfig.objective="reference", which
-    # forces float32 + HIGHEST here AND the raw-NLL estimator/optimizer
-    # settings (~2.5x the step time).
-    compute_dtype: str = "bfloat16"
+    # fast path trains stably (validated 11k+ steps on the degenerate
+    # corpus; 20k+ on the streaming corpus). "auto" resolves in
+    # TrainConfig.__post_init__: bfloat16 for objective="stabilized",
+    # float32 for objective="reference" (the conservative default for the
+    # parity mode — ~40% the bf16 speed). An EXPLICIT dtype is always
+    # respected, including bfloat16 + objective="reference": round 3
+    # proved the raw NLL's round-1 instability was corpus memorization,
+    # not precision (README), so the bf16 reference arm is a supported,
+    # measured configuration rather than a forbidden one.
+    compute_dtype: str = "auto"
     param_dtype: str = "float32"
     conv_precision: str = "highest"  # default | high | highest (fp32 inputs)
     # Hot-op backend: "lax" (XLA conv) or "pallas" (fused kernel).
@@ -274,7 +278,9 @@ class TrainConfig:
             # the mode is a complete preset: raw NLL + unbounded outputs
             # come from the objective flag itself (estimator reads
             # robust_nll / bound_outputs); the optimizer/precision halves
-            # are enforced here
+            # are enforced here. compute_dtype: "auto" resolves to the
+            # conservative fp32 default, but an explicit dtype is
+            # respected (see ModelConfig.compute_dtype).
             object.__setattr__(self, "nll_beta", 0.0)
             object.__setattr__(self, "adam_eps", 1e-8)
             object.__setattr__(
@@ -282,9 +288,19 @@ class TrainConfig:
                 "model",
                 dataclasses.replace(
                     self.model,
-                    compute_dtype="float32",
+                    compute_dtype=(
+                        "float32"
+                        if self.model.compute_dtype == "auto"
+                        else self.model.compute_dtype
+                    ),
                     conv_precision="highest",
                 ),
+            )
+        elif self.model.compute_dtype == "auto":
+            object.__setattr__(
+                self,
+                "model",
+                dataclasses.replace(self.model, compute_dtype="bfloat16"),
             )
 
     @property

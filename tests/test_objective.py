@@ -76,16 +76,28 @@ def test_unbounded_outputs_pass_through():
 def test_reference_objective_config_enforcement():
     cfg = TrainConfig(
         objective="reference",
-        model=ModelConfig(compute_dtype="bfloat16", conv_precision="default"),
+        model=ModelConfig(conv_precision="default"),
         nll_beta=1.0,
         adam_eps=1e-3,
     )
-    # the mode is a complete preset: every half-measure is overridden
+    # the mode is a complete preset: every half-measure is overridden,
+    # and the "auto" dtype resolves to the conservative fp32 default
     assert cfg.nll_beta == 0.0
     assert cfg.adam_eps == 1e-8
     assert cfg.model.compute_dtype == "float32"
     assert cfg.model.conv_precision == "highest"
     assert not cfg.robust_nll and not cfg.bound_outputs
+    # an EXPLICIT compute_dtype is respected (round-4: the r1 instability
+    # that motivated unconditional forcing was proven to be corpus
+    # memorization, so bf16 + reference is a supported measured config)
+    fast = TrainConfig(
+        objective="reference",
+        model=ModelConfig(compute_dtype="bfloat16"),
+    )
+    assert fast.model.compute_dtype == "bfloat16"
+    assert fast.nll_beta == 0.0 and fast.adam_eps == 1e-8
+    # stabilized "auto" resolves to bfloat16
+    assert TrainConfig().model.compute_dtype == "bfloat16"
     # and it round-trips through the checkpoint config serialization
     cfg2 = train_config_from_json(to_json(cfg))
     assert cfg2.objective == "reference"
