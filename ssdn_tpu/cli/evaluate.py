@@ -48,13 +48,17 @@ def main(argv=None) -> None:
     p.add_argument(
         "--tiled",
         default="full",
-        choices=["full", "sharded", "sequential"],
-        help="full-resolution tiled inference: 'sharded' = halo exchange "
-        "over all devices ([B] config 5); 'sequential' = overlap tiles on "
-        "one device (bounded memory)",
+        choices=["full", "sharded", "sharded-window", "sequential"],
+        help="full-resolution tiled inference: 'sharded' = per-level halo "
+        "exchange over all devices ([B] config 5; exact, strip-sized "
+        "per-device windows at any image width); 'sharded-window' = the "
+        "clamped-window strategies (one pre-forward exchange of --halo "
+        "columns, or all_gather when strips are narrow); 'sequential' = "
+        "overlap tiles on one device (bounded memory)",
     )
     p.add_argument("--halo", type=int, default=320,
-                   help="tile overlap in px; >= 320 is exact (see infer/tiled.py)")
+                   help="tile overlap in px for the window strategies; "
+                        ">= 320 is exact (see infer/tiled.py)")
     p.add_argument("--tile-w", type=int, default=512)
     p.add_argument("--eval-batch", type=int, default=1,
                    help="batch same-shaped images per forward (mode 'full'; "
@@ -80,7 +84,7 @@ def main(argv=None) -> None:
         else None
     )
     mesh = None
-    if args.tiled == "sharded":
+    if args.tiled in ("sharded", "sharded-window"):
         from ssdn_tpu import parallel
 
         mesh = parallel.make_mesh(axis=parallel.TILE_AXIS)

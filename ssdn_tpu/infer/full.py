@@ -151,6 +151,12 @@ def evaluate_dataset(
             "eval shards the image batch); pass eval_batch=len(devices)"
         )
     denoise_fn = make_denoise_fn(cfg) if mode == "full" else None
+    if mesh is not None and mode != "full":
+        # hoist the params broadcast out of the per-image loop (the tiled
+        # entry points would otherwise re-transfer per image)
+        from ssdn_tpu.infer.tiled import _replicate_params
+
+        params = _replicate_params(params, mesh)
     n = len(dataset)
     psnrs: List[Optional[float]] = [None] * n
     noisy_psnrs: List[Optional[float]] = [None] * n
@@ -218,11 +224,12 @@ def evaluate_dataset(
             y_np, param = noisy_for(i, clean)
             if mode == "full":
                 den = denoise_image(denoise_fn, params, y_np, param)
-            elif mode == "sharded":
+            elif mode in ("sharded", "sharded-window"):
                 from ssdn_tpu.infer.tiled import tiled_denoise_sharded
 
+                strategy = "window" if mode == "sharded-window" else "auto"
                 den = tiled_denoise_sharded(cfg, params, y_np, param, mesh,
-                                            halo=halo)
+                                            halo=halo, strategy=strategy)
             elif mode == "sequential":
                 from ssdn_tpu.infer.tiled import tiled_denoise_sequential
 

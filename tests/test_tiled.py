@@ -117,7 +117,7 @@ def test_exchange_mode_exact(wide):
     assert choose_mode(HALO_EXACT, 672, 8 * 672) == "exchange"
     mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
     out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh,
-                                halo=HALO_EXACT)
+                                halo=HALO_EXACT, strategy="window")
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
@@ -125,14 +125,15 @@ def test_gather_mode_exact(narrow):
     cfg, params, noisy, sigma, ref = narrow
     mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
     out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh,
-                                halo=HALO_EXACT)
+                                halo=HALO_EXACT, strategy="window")
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 def test_exchange_small_halo_approximate(wide):
     cfg, params, noisy, sigma, ref = wide
     mesh = parallel.make_mesh(jax.devices()[:8], axis=parallel.TILE_AXIS)
-    out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh, halo=96)
+    out = tiled_denoise_sharded(cfg, params, noisy, sigma, mesh, halo=96,
+                                strategy="window")
     assert out.shape == ref.shape
     assert np.abs(out - ref).mean() < 0.02  # overlap-tile approximation
 
