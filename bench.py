@@ -23,10 +23,18 @@ import numpy as np
 REFERENCE_PATCHES_PER_SEC = 1000.0  # order-of-magnitude anchor, see docstring
 
 
-def bench_inference() -> None:
+def bench_inference(batch: int = 16, *, square: bool = False,
+                    head_backend: str = "lax", quiet: bool = False) -> float:
     """Secondary headline metric: full-image denoise megapixels/sec
     (Kodak-shaped 768x512 RGB, posterior mean included).
-    Run: python bench.py inference"""
+    Run: python bench.py inference [batch] [square] [pallas-head]
+
+    Round-4 campaign knobs (VERDICT r3 item 1): `batch` sweeps the eval
+    batch; `square=True` pads the image to 768x768 and uses the one-call
+    4x-batch rotation fold instead of the two-call non-square fold (1.5x
+    the pixels, half the launches); `head_backend="pallas"` runs the
+    no-grad fused 1x1 head kernel. Only the *real* 512x768 pixels count
+    toward MP/s in square mode."""
     import jax
     import jax.numpy as jnp
 
@@ -36,14 +44,15 @@ def bench_inference() -> None:
 
     cfg = TrainConfig(
         noise=parse_noise_style("gauss25"),
-        model=ModelConfig(in_channels=3, compute_dtype="bfloat16"),
+        model=ModelConfig(in_channels=3, compute_dtype="bfloat16",
+                          head_backend=head_backend),
     )
     params = init_params(jax.random.key(0), 3, 9)
     fn = make_denoise_fn(cfg)
     rng = np.random.default_rng(0)
-    B = 8  # same-shaped eval images batched per forward (evaluate_dataset
-    # eval_batch); measured 9.1 -> 20.1 MP/s over batch 1 (round 2)
-    y = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 512, 768, 3)), jnp.float32)
+    B = batch
+    h, w = (768, 768) if square else (512, 768)
+    y = jnp.asarray(rng.uniform(-0.5, 0.5, (B, h, w, 3)), jnp.float32)
     sigma = jnp.full((B,), 25 / 255, jnp.float32)
     out = fn(params, y, sigma)
     float(out.ravel()[0])
@@ -54,16 +63,20 @@ def bench_inference() -> None:
     float(out.ravel()[0])
     dt = time.perf_counter() - t0
     mps = n * B * (512 * 768) / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "ssdn_inference_throughput",
-                "value": round(mps, 2),
-                "unit": "megapixels/sec (768x512 RGB full-image posterior mean)",
-                "vs_baseline": round(mps / 2.0, 3),  # ~2 MP/s 2019-GPU anchor
-            }
+    if not quiet:
+        print(
+            json.dumps(
+                {
+                    "metric": "ssdn_inference_throughput",
+                    "value": round(mps, 2),
+                    "unit": "megapixels/sec (768x512 RGB full-image posterior mean)",
+                    "vs_baseline": round(mps / 2.0, 3),  # ~2 MP/s 2019-GPU anchor
+                    "config": {"eval_batch": B, "square_fold": square,
+                               "head_backend": head_backend},
+                }
+            )
         )
-    )
+    return mps
 
 
 def _pallas_differential_gate() -> None:
@@ -201,7 +214,11 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "inference":
-        bench_inference()
+        bench_inference(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            square="square" in sys.argv[3:],
+            head_backend="pallas" if "pallas-head" in sys.argv[3:] else "lax",
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "ab":
         bench_ab()
     else:

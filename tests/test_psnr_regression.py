@@ -145,6 +145,43 @@ def test_fast_gate_blind_impulse_stability(tmp_path):
     assert 0.1 < ah[-1] < 0.9, f"alpha_hat off-rail check failed: {ah}"
 
 
+# ----------------------------------------------------------------- mid tier
+
+
+@pytest.mark.midtier
+def test_midtier_full_model_gate(tmp_path):
+    """Full-WIDTH quality gate in the DEFAULT suite (VERDICT r3 weak #5).
+
+    The fast tier's narrow nets catch structural breakage but cannot see
+    full-width quality drift (e.g. a subtly wrong Sigma path that costs
+    ~1 dB at 48/96 features); the slow tier can, but is per-round manual —
+    a regression introduced after the last -m slow run would ship. This
+    gate is the cheap middle: the full 48/96 model, 150 steps, gauss25 —
+    ~10-12 min on the 1-core box, in the default suite (opt out with
+    -m "not midtier").
+
+    Calibration (round 4, TPU v5e, seed 0, streaming corpus, batch 8,
+    patch 32, eval synthetic:6:32): step 50 -> 21.92, 100 -> 23.17,
+    150 -> 23.35 dB (noisy 20.29); CPU-vs-chip drift on these curves was
+    measured at ~0.1-0.3 dB (round 3). Threshold 22.3 leaves ~1 dB slack
+    while catching a ~1 dB full-width regression.
+    """
+    evals, noisy = _run_and_collect(
+        tmp_path / "midtier", [], iterations=150, eval_interval=50
+    )
+    best = max(p for _, p in evals)
+    final = dict(evals)[150]
+    assert noisy is not None
+    assert best >= 22.3, (
+        f"full-model best eval {best:.2f} dB < 22.3 (calibrated 23.35 at "
+        f"step 150, noisy ~20.3); evals={evals}"
+    )
+    assert final >= best - 1.0, (
+        f"full-model final {final:.2f} dB collapsed from best {best:.2f}; "
+        f"evals={evals}"
+    )
+
+
 # ---------------------------------------------------------------- slow tier
 
 

@@ -1,0 +1,272 @@
+"""Full-model differential oracle against a hand-typed PyTorch mirror.
+
+SURVEY.md §0 protocol step 2 scaled to the whole model (VERDICT r3 missing
+#3): with the reference mount empty, the strongest available instantiation
+of the "bit-for-behavior at matched seeds" north star is a from-scratch
+PyTorch CPU implementation of the reference ``NoiseNetwork`` semantics
+(SURVEY.md §2.4 — literal pad-shift-crop convs, offset pools, four
+sequential rotated branches, derotate+concat, 1x1 head) plus the raw
+Gaussian RGB NLL (SURVEY.md §2.5), written in the reference's own idiom
+(NCHW, eager per-branch loops) and compared against this framework's
+TPU-native formulation (batch-folded rotations, fused decoder, folded
+blind-spot shift) with the SAME weights:
+
+  * fp32 forward parity on the full 1.2M-param model,
+  * full-model gradient parity through the raw NLL,
+  * a 50-step matched-batch Adam(eps=1e-8) trajectory.
+
+The torch mirror is deliberately a *different program shape* (sequential
+branches, literal upsample->concat->conv decoder, explicit shift-down,
+batched torch.linalg-free closed-form Cholesky) so agreement checks the
+math, not the implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from ssdn_tpu.config import NoiseConfig, NoiseModel, NoiseValue  # noqa: E402
+from ssdn_tpu.estimator import nll  # noqa: E402
+from ssdn_tpu.models import blindspot_unet  # noqa: E402
+
+SIGMA = 25.0 / 255.0
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# The PyTorch mirror (reference ``NoiseNetwork`` semantics, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def _to_torch_params(params, dtype=torch.float32):
+    """HWIO jax params -> OIHW torch tensors with grad."""
+    out = {}
+    for name, leaf in params.items():
+        w = torch.from_numpy(np.asarray(leaf["w"])).permute(3, 2, 0, 1)
+        b = torch.from_numpy(np.asarray(leaf["b"]))
+        out[name] = {
+            "w": w.to(dtype).requires_grad_(True),
+            "b": b.to(dtype).requires_grad_(True),
+        }
+    return out
+
+
+def _shift_conv(x, w, b):
+    """Literal reference ShiftConv2d: pad top kh-1, SAME width, crop via
+    valid conv — output row r sees input rows <= r."""
+    x = F.pad(x, (1, 1, 2, 0))  # (wl, wr, top, bottom)
+    return F.conv2d(x, w, b)
+
+
+def _lrelu(x):
+    return F.leaky_relu(x, 0.1)
+
+
+def _shifted_pool(x):
+    """Offset 2x2 max-pool: shift input down one row (-inf fill so the
+    virtual row never wins), then pool."""
+    neg = torch.finfo(x.dtype).min
+    x = F.pad(x, (0, 0, 1, 0), value=neg)[:, :, :-1]
+    return F.max_pool2d(x, 2)
+
+
+def _shift_down(x):
+    return F.pad(x, (0, 0, 1, 0))[:, :, :-1]
+
+
+def _upsample(x):
+    return x.repeat_interleave(2, dim=2).repeat_interleave(2, dim=3)
+
+
+def _branch(p, x):
+    """One shared-weight U-Net branch, literal program shape."""
+    h = _lrelu(_shift_conv(x, p["enc0"]["w"], p["enc0"]["b"]))
+    skips = [x]
+    h = _shifted_pool(_lrelu(_shift_conv(h, p["enc1"]["w"], p["enc1"]["b"])))
+    skips.append(h)
+    for i in (2, 3, 4):
+        h = _shifted_pool(
+            _lrelu(_shift_conv(h, p[f"enc{i}"]["w"], p[f"enc{i}"]["b"]))
+        )
+        skips.append(h)
+    h = _shifted_pool(_lrelu(_shift_conv(h, p["enc5"]["w"], p["enc5"]["b"])))
+    h = _lrelu(_shift_conv(h, p["enc6"]["w"], p["enc6"]["b"]))
+    for stage, skip in zip((5, 4, 3, 2, 1), reversed(skips)):
+        h = torch.cat([_upsample(h), skip], dim=1)
+        h = _lrelu(_shift_conv(h, p[f"dec{stage}a"]["w"], p[f"dec{stage}a"]["b"]))
+        h = _lrelu(_shift_conv(h, p[f"dec{stage}b"]["w"], p[f"dec{stage}b"]["b"]))
+    return h
+
+
+def torch_forward(p, x):
+    """Four sequential rotated branches -> shift-down -> derotate -> concat
+    -> 1x1 head. x: NCHW."""
+    parts = []
+    for k in range(4):
+        g = torch.rot90(x, k, dims=(2, 3))
+        f = _branch(p, g)
+        f = _shift_down(f)
+        parts.append(torch.rot90(f, -k, dims=(2, 3)))
+    f = torch.cat(parts, dim=1)
+    f = _lrelu(F.conv2d(f, p["nin_a"]["w"], p["nin_a"]["b"]))
+    f = _lrelu(F.conv2d(f, p["nin_b"]["w"], p["nin_b"]["b"]))
+    return F.conv2d(f, p["nin_c"]["w"], p["nin_c"]["b"])
+
+
+def torch_raw_nll(out, y, sigma):
+    """Raw Gaussian-known RGB NLL (SURVEY.md §2.5), closed-form 3x3
+    Cholesky mirroring estimator/spd3.py's clamps. out/y: NCHW."""
+    mu = out[:, :3]
+    a11, a12, a13, a22, a23, a33 = [out[:, 3 + i] for i in range(6)]
+    v = sigma * sigma
+    # Sigma_y = A^T A + sigma^2 I
+    s11 = a11 * a11 + v
+    s12 = a11 * a12
+    s13 = a11 * a13
+    s22 = a12 * a12 + a22 * a22 + v
+    s23 = a12 * a13 + a22 * a23
+    s33 = a13 * a13 + a23 * a23 + a33 * a33 + v
+    eps = 1e-9
+    l11 = torch.sqrt(torch.clamp(s11, min=eps))
+    l21 = s12 / l11
+    l31 = s13 / l11
+    l22 = torch.sqrt(torch.clamp(s22 - l21 * l21, min=eps))
+    l32 = (s23 - l31 * l21) / l22
+    l33 = torch.sqrt(torch.clamp(s33 - l31 * l31 - l32 * l32, min=eps))
+    d = y - mu
+    z1 = d[:, 0] / l11
+    z2 = (d[:, 1] - l21 * z1) / l22
+    z3 = (d[:, 2] - l31 * z1 - l32 * z2) / l33
+    quad = z1 * z1 + z2 * z2 + z3 * z3
+    logdet = 2.0 * (torch.log(l11) + torch.log(l22) + torch.log(l33))
+    return (0.5 * (quad + logdet + 3.0 * _LOG2PI)).mean()
+
+
+# ---------------------------------------------------------------------------
+# Shared fixtures
+# ---------------------------------------------------------------------------
+
+CFG = NoiseConfig(model=NoiseModel.GAUSSIAN, value=NoiseValue.KNOWN)
+
+
+def _make_model(seed=0):
+    params = blindspot_unet.init_params(jax.random.key(seed), 3, 9)
+    rng = np.random.default_rng(seed + 100)
+    clean = rng.uniform(-0.5, 0.5, (2, 32, 32, 3)).astype(np.float32)
+    noisy = clean + SIGMA * rng.standard_normal(clean.shape).astype(np.float32)
+    return params, noisy
+
+
+def _jax_forward(params, x_np):
+    return blindspot_unet.apply(
+        params, jnp.asarray(x_np),
+        compute_dtype=jnp.float32, conv_precision="highest",
+    )
+
+
+def _jax_raw_loss(params, x_np):
+    out = _jax_forward(params, x_np)
+    loss, _ = nll(out, jnp.asarray(x_np), CFG, {"sigma": SIGMA},
+                  beta=0.0, robust=False, bound=False)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+def test_full_model_forward_parity():
+    params, noisy = _make_model()
+    ours = np.asarray(_jax_forward(params, noisy))
+
+    tp = _to_torch_params(params)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        ref = torch_forward(tp, xt).permute(0, 2, 3, 1).numpy()
+
+    assert ours.shape == ref.shape == (2, 32, 32, 9)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_full_model_loss_and_gradient_parity():
+    params, noisy = _make_model(seed=1)
+    loss_j, grads = jax.value_and_grad(_jax_raw_loss)(params, noisy)
+
+    tp = _to_torch_params(params)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    out = torch_forward(tp, xt)
+    loss_t = torch_raw_nll(out, xt, SIGMA)
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    for name, leaf in grads.items():
+        gw = np.asarray(leaf["w"])
+        gb = np.asarray(leaf["b"])
+        tw = tp[name]["w"].grad.permute(2, 3, 1, 0).numpy()
+        tb = tp[name]["b"].grad.numpy()
+        scale = max(np.abs(tw).max(), 1e-3)
+        np.testing.assert_allclose(gw, tw, atol=2e-3 * scale,
+                                   err_msg=f"dw mismatch at {name}")
+        bscale = max(np.abs(tb).max(), 1e-3)
+        np.testing.assert_allclose(gb, tb, atol=2e-3 * bscale,
+                                   err_msg=f"db mismatch at {name}")
+
+
+def test_matched_adam_trajectory():
+    """50 matched-batch Adam(lr=3e-4, eps=1e-8) steps: the two frameworks'
+    loss trajectories and final weights must track within fp32 drift."""
+    import optax
+
+    params, noisy = _make_model(seed=2)
+    lr, eps = 3e-4, 1e-8
+
+    opt = optax.adam(lr, eps=eps)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(_jax_raw_loss)(params, noisy)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt_state = opt.init(params)
+    losses_j = []
+    p = params
+    for _ in range(50):
+        p, opt_state, loss = step(p, opt_state)
+        losses_j.append(float(loss))
+
+    tp = _to_torch_params(params)
+    leaves = [t for leaf in tp.values() for t in (leaf["w"], leaf["b"])]
+    topt = torch.optim.Adam(leaves, lr=lr, eps=eps)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    losses_t = []
+    for _ in range(50):
+        topt.zero_grad()
+        loss = torch_raw_nll(torch_forward(tp, xt), xt, SIGMA)
+        loss.backward()
+        topt.step()
+        losses_t.append(float(loss))
+
+    # Calibrated to measured drift (CPU, seed 2): step-1 loss (pre-update)
+    # matches at 5e-7 rel; by step 50 the rel gap grows to ~1.4e-2 and the
+    # final weight maxabs diff to ~7.5e-3. That growth is structural, not a
+    # bug: at eps=1e-8 the step-1 Adam update is ~ lr*sign(g), so any
+    # gradient element within fp32 accumulation noise of zero moves the two
+    # frameworks' copies in OPPOSITE directions by +-lr, and the divergence
+    # compounds. The asserts pin each regime: exact math at step 1, tracked
+    # trajectory with bounded compounding after.
+    np.testing.assert_allclose(losses_j[0], losses_t[0], rtol=1e-5)
+    np.testing.assert_allclose(losses_j[:10], losses_t[:10], rtol=5e-3)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=3e-2)
+
+    for name, leaf in tp.items():
+        ours = np.asarray(p[name]["w"])
+        ref = leaf["w"].permute(2, 3, 1, 0).detach().numpy()
+        np.testing.assert_allclose(
+            ours, ref, atol=2e-2, err_msg=f"weights diverged at {name}"
+        )

@@ -16,8 +16,11 @@ import sys
 def main(argv=None) -> None:
     import jax
 
-    # export is pure host work; never touch (or wait on) the TPU tunnel
-    jax.config.update("jax_platforms", "cpu")
+    # plain export is pure host work; never touch (or wait on) the TPU
+    # tunnel. With --eval the full-model forward runs — leave the platform
+    # alone so it lands on the chip (the 1-core CPU takes ~10 min/image).
+    if "--eval" not in (argv or sys.argv[1:]):
+        jax.config.update("jax_platforms", "cpu")
 
     from ssdn_tpu import zoo
     from ssdn_tpu.cli.evaluate import _restore
@@ -30,6 +33,10 @@ def main(argv=None) -> None:
     p.add_argument("--which", default="auto",
                    choices=["auto", "best", "latest"])
     p.add_argument("--note", default="", help="free-form provenance note")
+    p.add_argument("--eval", default=None, metavar="DATASET",
+                   help="evaluate the checkpoint on this dataset spec "
+                        "(e.g. 'bundled') and record the PSNR in the "
+                        "artifact meta (zoo provenance, SURVEY.md §3.4)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.workdir)
@@ -40,6 +47,23 @@ def main(argv=None) -> None:
         "which": args.which,
         "note": args.note,
     }
+    if args.eval:
+        from ssdn_tpu.data import open_dataset
+        from ssdn_tpu.infer import evaluate_dataset
+
+        res = evaluate_dataset(
+            cfg, state.params,
+            open_dataset(args.eval, grayscale=cfg.grayscale),
+        )
+        meta["eval"] = {
+            args.eval: {
+                "psnr_mean": round(res["psnr_mean"], 3),
+                "noisy_psnr_mean": round(res["noisy_psnr_mean"], 3),
+                "noise": cfg.noise.describe(),
+            }
+        }
+        print(f"eval {args.eval}: {res['psnr_mean']:.3f} dB "
+              f"(noisy {res['noisy_psnr_mean']:.3f})")
     zoo.save(args.out, cfg, state.params, meta)
     n = sum(v.size for v in jax.tree_util.tree_leaves(state.params))
     print(f"wrote {args.out}: step {meta['step']}, {n} params, "
