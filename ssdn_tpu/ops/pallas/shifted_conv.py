@@ -1,10 +1,21 @@
 """Pallas TPU kernel: fused shifted 3x3 conv + bias + LeakyReLU.
 
-This is the hot op of the framework — every conv of the rotation-folded
-blind-spot U-Net trunk ([B]: "four 90-degree-rotated input branches fused
-into one batched Pallas conv path"; SURVEY.md §2.2 table row 1). The four
-branches are already batch-folded by the model, so one kernel instance sees
-the whole (4B, H, W, C) tensor.
+STATUS (measured rounds 2-3, unchanged round 4): this kernel is correct,
+custom-VJP'd, and differentially gated on-chip, but it is NOT the
+production hot path — `bench.py ab` measures the full train step at
+lax 2818 vs pallas 571 patches/s. The best Mosaic conv formulation
+reached 39 TF/s against XLA's 107 on the same shape because Mosaic
+rejects the lane-dim concat/reshape the faster formulations need
+(README "throughput campaign" for the full closure). It ships as
+(a) the flag-selectable `conv_backend="pallas"` alternate backend,
+(b) the differential-test reference for the fused multi-op head kernel
+(ops/pallas/nin_head.py), and (c) the ready vehicle if a future Mosaic
+lifts the lane-dim restriction. The [B] target it was built for —
+"four 90-degree-rotated input branches fused into one batched Pallas
+conv path"; SURVEY.md §2.2 table row 1 — is met for correctness (the
+four branches are batch-folded by the model, so one kernel instance
+sees the whole (4B, H, W, C) tensor) but not for speed; the default
+conv backend stays lax/XLA.
 
 Formulation: a 3x3 conv is nine shifted (H*W, Cin) x (Cin, Cout) matmuls
 accumulated in fp32 — tap-accumulation keeps everything MXU-shaped without
