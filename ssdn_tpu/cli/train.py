@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler-backend", default="auto",
                    choices=["auto", "native", "python"],
                    help="host patch gatherer: C++ (native) or pure Python")
+    p.add_argument("--prefetch-depth", type=int, default=12,
+                   help="host->device prefetch pipeline depth (batches "
+                        "sampled/transferred ahead of the training step)")
+    p.add_argument("--prefetch-threads", type=int, default=4,
+                   help="concurrent sample+device_put worker threads; >1 "
+                        "keeps several transfers in flight, which absorbs "
+                        "per-transfer latency jitter on remote-attached "
+                        "TPUs (measured: tools/transfer_microbench.py)")
     p.add_argument("--profile-dir", default=None,
                    help="capture an XLA device trace (steps 10-15) into this "
                         "dir; open with TensorBoard's profile plugin")
@@ -156,6 +164,8 @@ def main(argv=None) -> None:
         log_interval=args.log_interval,
         sampler_backend=args.sampler_backend,
         profile_dir=args.profile_dir,
+        prefetch_depth=args.prefetch_depth,
+        prefetch_threads=args.prefetch_threads,
     )
     print(f"training: {cfg.pipeline.value} | {cfg.noise.describe()} | "
           f"objective={cfg.objective} | "

@@ -119,44 +119,95 @@ class StreamingPatchSampler:
         self._pool.shutdown(wait=False)
 
 
+class _PrefetchError:
+    """Marker carrying a worker-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
-    """Background-thread prefetch of sampler batches (the host-side stage;
-    replaces the reference's DataLoader worker processes, SURVEY.md §3.5).
+    """Multi-threaded ordered prefetch of sampler batches (the host-side
+    stage; replaces the reference's DataLoader worker processes,
+    SURVEY.md §3.5).
 
     `transform` (e.g. a sharded jax.device_put) runs inside the worker
-    thread, so host->device transfer of batch k+1 overlaps step k's compute.
+    threads, so host->device transfer of upcoming batches overlaps the
+    current step's compute — with SEVERAL transfers in flight at once.
+    That concurrency is the round-5 mitigation for remote-tunnel transfer
+    jitter (tools/transfer_microbench.py measured a 4.7 MB batch-384 put
+    at ~192 ms mean / p99 319 ms over the axon tunnel — slower than the
+    131 ms train step — while 4 concurrent putters sustain 7.8 batches/s
+    vs the step's 7.6/s).
+
+    Ordering contract: batches are yielded in exact step order. Worker k
+    produces steps start+k, start+k+T, ... into its own bounded queue and
+    the consumer round-robins the queues, which reconstructs global order
+    without any reordering buffer. The first sentinel met in round-robin
+    order is necessarily the end of the stream (if worker k's next index
+    r*T+k >= n_steps then every later queue's next index in the same
+    round is larger). Samplers are safe to call concurrently: every
+    `sample(step)` is a pure function of (seed, step) into fresh output
+    buffers (PatchSampler/NativePatchSampler/StreamingPatchSampler).
     """
 
     def __init__(self, sampler, start_step: int, n_steps: int,
-                 depth: int = 3, transform=None):
+                 depth: int = 12, transform=None, n_threads: int = 4):
         self.sampler = sampler
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        n_threads = max(1, min(n_threads, max(n_steps, 1)))
+        per_depth = max(2, depth // n_threads)
+        self.qs = [queue.Queue(maxsize=per_depth) for _ in range(n_threads)]
         self._stop = threading.Event()
 
-        def worker():
-            for s in range(start_step, start_step + n_steps):
-                if self._stop.is_set():
-                    return
-                batch = self.sampler.sample(s)
-                if transform is not None:
-                    batch = transform(batch)
-                self.q.put(batch)
-            self.q.put(None)
+        def put_blocking(q, item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
-        self.thread = threading.Thread(target=worker, daemon=True)
-        self.thread.start()
+        def worker(k: int):
+            q = self.qs[k]
+            try:
+                for s in range(start_step + k, start_step + n_steps,
+                               n_threads):
+                    if self._stop.is_set():
+                        return
+                    batch = self.sampler.sample(s)
+                    if transform is not None:
+                        batch = transform(batch)
+                    if not put_blocking(q, batch):
+                        return
+                put_blocking(q, None)
+            except BaseException as e:  # surface in the consumer thread
+                put_blocking(q, _PrefetchError(e))
+
+        self.threads = [
+            threading.Thread(target=worker, args=(k,), daemon=True)
+            for k in range(n_threads)
+        ]
+        for t in self.threads:
+            t.start()
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        k, n = 0, len(self.qs)
         while True:
-            item = self.q.get()
+            item = self.qs[k].get()
+            if isinstance(item, _PrefetchError):
+                self.close()
+                raise item.exc
             if item is None:
                 return
             yield item
+            k = (k + 1) % n
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
-                self.q.get_nowait()
-        except queue.Empty:
-            pass
+        for q in self.qs:
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

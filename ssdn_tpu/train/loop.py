@@ -134,6 +134,8 @@ class Trainer:
         sampler_backend: str = "auto",
         profile_dir: Optional[str] = None,
         profile_window: tuple = (10, 15),
+        prefetch_depth: int = 12,
+        prefetch_threads: int = 4,
     ):
         # profiling (SURVEY.md §5.1): capture an XLA device trace over
         # profile_window steps into profile_dir (TensorBoard profile plugin)
@@ -143,6 +145,8 @@ class Trainer:
         self.workdir = workdir
         self.mesh = mesh
         self.log_interval = log_interval
+        self.prefetch_depth = prefetch_depth
+        self.prefetch_threads = prefetch_threads
         save_config(workdir, cfg)
         self.dataset = open_dataset(train_data, grayscale=cfg.grayscale)
         self.eval_dataset = (
@@ -328,6 +332,23 @@ class Trainer:
             return max(cfg.guard_margin_floor,
                        cfg.guard_margin_k * guard_dev_ema)
 
+        # ONE prefetch pipeline spans the whole run (round 5): per-window
+        # pipelines drained and refilled at every guard/log boundary,
+        # paying a pipeline-depth stall each time; a persistent pipeline
+        # keeps `prefetch_threads` transfers continuously in flight, which
+        # is what absorbs remote-tunnel transfer jitter (measured in
+        # tools/transfer_microbench.py; see Prefetcher docstring). The
+        # guard's "skip the offending window" semantics are unchanged:
+        # windows tile [start, iterations) contiguously and a rollback
+        # advances the step counter to window_end, so the iterator stays
+        # aligned with the step counter either way.
+        prefetch = Prefetcher(
+            self.sampler, start, todo,
+            depth=self.prefetch_depth, n_threads=self.prefetch_threads,
+            transform=lambda b: parallel.put_batch(b, self.mesh),
+        )
+        batches = iter(prefetch)
+
         def run_window(state, from_step, to_step, profiled=[False]):
             if (
                 self.profile_dir is not None
@@ -342,16 +363,9 @@ class Trainer:
                 finally:
                     jax.profiler.stop_trace()
                 return state, metrics
-            prefetch = Prefetcher(
-                self.sampler, from_step, to_step - from_step,
-                transform=lambda b: parallel.put_batch(b, self.mesh),
-            )
             metrics = None
-            try:
-                for dev_batch in prefetch:
-                    state, metrics = self.step_fn(state, dev_batch)
-            finally:
-                prefetch.close()
+            for _ in range(to_step - from_step):
+                state, metrics = self.step_fn(state, next(batches))
             return state, metrics
 
         t0, tn0 = time.time(), start
@@ -486,6 +500,7 @@ class Trainer:
             if self.ckpt.latest_step() != int(state.step):
                 self.ckpt.save(state)
         finally:
+            prefetch.close()
             self.ckpt.mgr.wait_until_finished()
             # the best-PSNR manager saves asynchronously too; an unawaited
             # save at process exit schedules futures during interpreter

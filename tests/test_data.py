@@ -117,6 +117,53 @@ def test_prefetcher_yields_all_steps_in_order():
     np.testing.assert_array_equal(got[3], s.sample(6))
 
 
+def test_prefetcher_multithreaded_order_all_thread_counts():
+    # exact step order must hold for every n_threads, including counts
+    # that do not divide n_steps (the round-robin sentinel edge case)
+    ds = synthetic_dataset(n=2, size=48, channels=3, seed=3)
+    s = PatchSampler(ds, patch_size=32, batch_size=2, seed=1)
+    want = [s.sample(k) for k in range(5, 5 + 11)]
+    for n_threads in (1, 2, 3, 4, 8, 16):
+        got = list(Prefetcher(s, start_step=5, n_steps=11, depth=6,
+                              n_threads=n_threads))
+        assert len(got) == 11, n_threads
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_prefetcher_transform_runs_in_workers():
+    ds = synthetic_dataset(n=2, size=48, channels=3, seed=3)
+    s = PatchSampler(ds, patch_size=32, batch_size=2, seed=1)
+    got = list(Prefetcher(s, 0, 6, n_threads=3,
+                          transform=lambda b: b.astype(np.float32) + 1.0))
+    assert all(g.dtype == np.float32 for g in got)
+    np.testing.assert_array_equal(got[2], s.sample(2).astype(np.float32) + 1)
+
+
+def test_prefetcher_worker_error_propagates():
+    import pytest
+
+    class Boom:
+        def sample(self, step):
+            if step == 3:
+                raise RuntimeError("bad step")
+            return np.zeros((1, 2, 2, 1), np.uint8)
+
+    with pytest.raises(RuntimeError, match="bad step"):
+        list(Prefetcher(Boom(), 0, 8, n_threads=2))
+
+
+def test_prefetcher_close_unblocks_workers():
+    s = PatchSampler(synthetic_dataset(n=2, size=48, seed=3), 32, 2, seed=1)
+    p = Prefetcher(s, 0, 100, depth=4, n_threads=2)
+    it = iter(p)
+    next(it)
+    p.close()  # workers blocked on full queues must exit, not hang
+    for t in p.threads:
+        t.join(timeout=5.0)
+        assert not t.is_alive()
+
+
 def test_train_cli_config_building():
     from ssdn_tpu.cli.train import build_parser, config_from_args
     from ssdn_tpu.config import NoiseModel, NoiseValue, Pipeline
