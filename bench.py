@@ -116,47 +116,87 @@ def _pallas_differential_gate() -> None:
     print("# pallas compiled differential gate: passed", flush=True)
 
 
+def _time_train_step(cfg, n_warm: int = 4, n_steps: int = 20) -> float:
+    """Resident-batch patches/sec for one TrainConfig (value-fetch barrier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdn_tpu.train.step import init_state, make_train_step
+
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    state = init_state(cfg)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.integers(
+        0, 256, (cfg.batch_size, cfg.patch_size, cfg.patch_size,
+                 cfg.model.in_channels), dtype=np.uint8))
+    for _ in range(n_warm):
+        state, m = step(state, b)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, b)
+    float(m["loss"])
+    return n_steps * cfg.batch_size / (time.perf_counter() - t0)
+
+
 def bench_ab() -> None:
     """A/B the conv backends on the bench training shape (VERDICT r1 item 3:
     record both numbers). Runs the compiled-kernel differential gate first.
     Run: python bench.py ab"""
-    import jax
-    import jax.numpy as jnp
-
     from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
-    from ssdn_tpu.train.step import init_state, make_train_step
 
     _pallas_differential_gate()
 
-    batch = 128
     out = {}
     for backend in ("lax", "pallas"):
         cfg = TrainConfig(
             noise=parse_noise_style("gauss25"),
             model=ModelConfig(in_channels=3, conv_backend=backend),
             patch_size=64,
-            batch_size=batch,
+            batch_size=128,
             iterations=10_000,
         )
-        step = jax.jit(make_train_step(cfg), donate_argnums=0)
-        state = init_state(cfg)
-        rng = np.random.default_rng(0)
-        b = jnp.asarray(rng.integers(0, 256, (batch, 64, 64, 3),
-                                     dtype=np.uint8))
-        for _ in range(4):
-            state, m = step(state, b)
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(20):
-            state, m = step(state, b)
-        float(m["loss"])
-        dt = (time.perf_counter() - t0) / 20
-        out[backend] = round(20 * batch / (20 * dt), 2)
+        out[backend] = round(_time_train_step(cfg), 2)
     print(json.dumps({
         "metric": "ssdn_train_throughput_conv_backend_ab",
         "value": out,
         "unit": "patches/sec/chip per conv backend (64x64 RGB)",
         "vs_baseline": round(max(out.values()) / REFERENCE_PATCHES_PER_SEC, 3),
+    }))
+
+
+def bench_train_arms() -> None:
+    """Record the training step rate of BOTH objective arms at the headline
+    shape (VERDICT r4 next #4): the production default (stabilized, bf16)
+    and the reference-parity configuration — `objective=reference` with an
+    explicit bf16 dtype, which round 4 measured at full quality parity
+    (33.14 vs 33.10 dB at 10k steps) — plus the conservative fp32 resolve
+    of `compute_dtype="auto"` under the reference objective.
+    Run: python bench.py arms"""
+    from ssdn_tpu.config import ModelConfig, TrainConfig, parse_noise_style
+
+    arms = {
+        "stabilized_bf16_default": ("stabilized", "auto"),
+        "reference_bf16_parity": ("reference", "bfloat16"),
+        "reference_fp32_auto": ("reference", "auto"),
+    }
+    out = {}
+    for name, (objective, dtype) in arms.items():
+        cfg = TrainConfig(
+            noise=parse_noise_style("gauss25"),
+            model=ModelConfig(in_channels=3, compute_dtype=dtype),
+            objective=objective,
+            patch_size=64,
+            batch_size=384,
+            iterations=10_000,
+        )
+        out[name] = round(_time_train_step(cfg, n_steps=30), 2)
+    print(json.dumps({
+        "metric": "ssdn_train_throughput_objective_arms",
+        "value": out,
+        "unit": "patches/sec/chip (64x64 RGB, batch 384, resident batch)",
+        "vs_baseline": round(
+            out["reference_bf16_parity"] / REFERENCE_PATCHES_PER_SEC, 3),
     }))
 
 
@@ -211,15 +251,39 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import argparse
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "inference":
-        bench_inference(
-            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
-            square="square" in sys.argv[3:],
-            head_backend="pallas" if "pallas-head" in sys.argv[3:] else "lax",
-        )
-    elif len(sys.argv) > 1 and sys.argv[1] == "ab":
+    # argparse CLI (ADVICE r4: the old positional parsing crashed on
+    # `bench.py inference square`). Bare `python bench.py` stays the
+    # driver's headline entry. Legacy bare-word flags are accepted.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", nargs="?", default="train",
+                    choices=["train", "inference", "ab", "arms"])
+    ap.add_argument("rest", nargs="*",
+                    help="inference mode: [batch] [square] [pallas-head]")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--square", action="store_true")
+    ap.add_argument("--pallas-head", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "inference":
+        batch = args.batch
+        for tok in args.rest:  # legacy positional/bare-word forms
+            if tok.isdigit() and batch is None:
+                batch = int(tok)
+            elif tok == "square":
+                args.square = True
+            elif tok == "pallas-head":
+                args.pallas_head = True
+            else:
+                ap.error(f"unrecognized inference arg {tok!r}")
+        bench_inference(batch if batch is not None else 16,
+                        square=args.square,
+                        head_backend="pallas" if args.pallas_head else "lax")
+    elif args.mode == "ab":
         bench_ab()
+    elif args.mode == "arms":
+        bench_train_arms()
     else:
         main()
