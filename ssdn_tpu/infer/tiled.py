@@ -180,7 +180,12 @@ def _replicate_params(params, mesh: Mesh):
 
     leaf = jax.tree_util.tree_leaves(params)[0]
     sh = getattr(leaf, "sharding", None)
-    if getattr(sh, "mesh", None) == mesh:
+    # Skipping is only safe when the existing placement is the TARGET
+    # placement: same mesh AND fully replicated. Params already on the
+    # mesh but sharded (non-trivial PartitionSpec) must still be re-put
+    # (ADVICE r4).
+    if (getattr(sh, "mesh", None) == mesh
+            and getattr(sh, "is_fully_replicated", False)):
         return params
     return jax.device_put(params, parallel.replicated(mesh))
 

