@@ -9,8 +9,11 @@ Defaults: 3000 synthetic:64 synthetic:8; pass e.g.
 `python tools/parity_check.py 10000 synthetic:inf:256 synthetic:8` for the
 non-memorizable streaming corpus (VERDICT r2 item 3)."""
 import json
+import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ssdn_tpu.cli.train import main as train_main
 
