@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beta-NLL pixel weight exponent; 1.0 = stable "
                         "default with identical per-pixel optima "
                         "(--objective reference forces 0)")
+    p.add_argument("--blind-reg", type=float, default=0.1,
+                   help="blind-noise anti-degeneracy barrier weight "
+                        "([P] §3.1; estimator.nll)")
+    p.add_argument("--blind-reg-rampdown", type=float, default=0.0,
+                   help="cosine the barrier weight to 0 over this final "
+                        "fraction of training (0 = constant barrier; "
+                        "removes the converged alpha_hat midpoint bias — "
+                        "config.py field note)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-interval", type=int, default=10_000)
     p.add_argument("--eval-patience", type=int, default=0,
@@ -141,6 +149,8 @@ def config_from_args(args) -> TrainConfig:
         iterations=args.iterations,
         lr=args.lr,
         grad_clip=args.grad_clip,
+        blind_reg=args.blind_reg,
+        blind_reg_rampdown_frac=args.blind_reg_rampdown,
         nll_beta=args.nll_beta,
         seed=args.seed,
         eval_interval=args.eval_interval,

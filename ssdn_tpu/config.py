@@ -239,6 +239,17 @@ class TrainConfig:
     # Blind-noise regularizer coefficient (loss -= coef * sigma_hat), [P] §3.1;
     # flagged "re-verify" in SURVEY.md §2.5 — kept configurable.
     blind_reg: float = 0.1
+    # Blind-regularizer rampdown: when > 0, the anti-degeneracy barrier
+    # weight cosines from `blind_reg` to 0 over the final fraction of
+    # training (same curve as lr_rampdown_frac). The barrier exists to
+    # keep the early-training estimate off the degenerate rail (estimator
+    # core docstrings); once the model has organized it only biases the
+    # estimate — for impulse the symmetric log-barrier's minimum at
+    # alpha=0.5 compresses alpha_hat toward the range midpoint
+    # (CALIBRATION_r5.json round-5 measurement). Decaying it late keeps
+    # the protection where it is needed and removes the equilibrium bias
+    # where it is not. 0.0 (default) keeps the constant barrier.
+    blind_reg_rampdown_frac: float = 0.0
     # beta-NLL pixel-weight exponent (estimator.nll docstring): 1.0 keeps
     # per-pixel optima identical to the reference NLL while removing the
     # 1/var gradient disparity that destabilizes training; 0.0 = raw NLL.

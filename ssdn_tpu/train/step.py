@@ -56,6 +56,26 @@ def lr_schedule(cfg: TrainConfig):
     return schedule
 
 
+def blind_reg_schedule(cfg: TrainConfig):
+    """Barrier-weight schedule for the blind-noise anti-degeneracy
+    regularizer: constant `cfg.blind_reg`, cosined to 0 over the final
+    `blind_reg_rampdown_frac` of training (same curve as lr_schedule).
+    The barrier's job is early-training rail protection; held constant it
+    biases the converged estimate (impulse alpha_hat compresses toward
+    0.5 — config.py field note, CALIBRATION_r5.json)."""
+
+    def schedule(step):
+        frac = cfg.blind_reg_rampdown_frac
+        if frac <= 0:
+            return jnp.asarray(cfg.blind_reg, jnp.float32)
+        t = jnp.asarray(step, jnp.float32) / max(cfg.iterations, 1)
+        v = jnp.clip((1.0 - t) / frac, 0.0, 1.0)
+        ramp = 0.5 - 0.5 * jnp.cos(v * jnp.pi)
+        return cfg.blind_reg * ramp
+
+    return schedule
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     adam = optax.adam(
         learning_rate=lr_schedule(cfg),
@@ -139,7 +159,8 @@ def make_train_step(cfg: TrainConfig):
                            "raw_scale": params["noise_scalar"]["raw"]}
                 loss, aux = estimator.nll(
                     out, y, cfg.noise, np_,
-                    blind_reg=cfg.blind_reg, beta=cfg.nll_beta,
+                    blind_reg=blind_reg_schedule(cfg)(state.step),
+                    beta=cfg.nll_beta,
                     robust=cfg.robust_nll, bound=cfg.bound_outputs,
                 )
                 return loss, aux

@@ -29,11 +29,35 @@ jax.config.update("jax_enable_x64", False)
 # train-step HLO in fresh closures (no in-process cache hit) — the disk
 # cache turns those into loads. Measured: 27 s -> 16 s on the determinism
 # test; warm full-suite reruns drop several minutes.
+#
+# The default cache dir is keyed by a fingerprint of the host CPU's
+# feature flags: XLA:CPU AOT executables bake in the compile machine's
+# vector ISA (AVX-512/AMX/prefer-no-gather...), and loading a cache
+# written on a different host both risks SIGILL and changes codegen
+# (observed round 5: cpu_aot_loader.cc feature-mismatch warnings plus
+# last-ulp numeric drift vs fresh compilation). An explicit
+# JAX_COMPILATION_CACHE_DIR is respected as-is.
+def _host_cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/ssdn_tpu_jax"),
+        os.path.expanduser("~/.cache/ssdn_tpu_jax-" + _host_cpu_fingerprint()),
     ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -18,6 +18,7 @@ from ssdn_tpu.config import (
 from ssdn_tpu.data import PatchSampler, synthetic_dataset
 from ssdn_tpu.train.step import (
     init_state,
+    blind_reg_schedule,
     lr_schedule,
     make_train_step,
     pipeline_blindspot,
@@ -105,6 +106,34 @@ def test_lr_schedule_rampdown():
     assert float(sched(69)) == pytest.approx(cfg.lr, rel=1e-3)
     assert float(sched(85)) < cfg.lr * 0.6
     assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_blind_reg_schedule():
+    # default: constant barrier at every step
+    cfg = tiny_cfg(noise="gauss5_50", blind=True, iterations=100)
+    sched = blind_reg_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(cfg.blind_reg)
+    assert float(sched(100)) == pytest.approx(cfg.blind_reg)
+    # rampdown over the last half: constant before, cosine to 0 after
+    cfg = dataclasses.replace(cfg, blind_reg_rampdown_frac=0.5)
+    sched = blind_reg_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(cfg.blind_reg)
+    assert float(sched(49)) == pytest.approx(cfg.blind_reg, rel=1e-3)
+    assert float(sched(75)) == pytest.approx(cfg.blind_reg * 0.5, rel=1e-6)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_blind_reg_rampdown_trains():
+    # the barrier weight is a traced function of state.step inside the
+    # jitted program; a short blind run with full-length rampdown must
+    # stay finite end to end (the final steps run at ~zero barrier)
+    cfg = dataclasses.replace(
+        tiny_cfg(noise="gauss5_50", blind=True, iterations=4),
+        blind_reg_rampdown_frac=1.0,
+    )
+    state, losses = run_steps(cfg, 4)
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 4
 
 
 def test_blindspot_flag_per_pipeline():
