@@ -29,6 +29,11 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--corpus", default="synthetic:256:256")
     p.add_argument("--workdir", default="/tmp/sustained_bench")
+    p.add_argument("--prefetch-threads", type=int, default=4,
+                   help="concurrent sample+device_put workers (Trainer "
+                        "default 4; probe higher values for tunnel-jitter "
+                        "headroom)")
+    p.add_argument("--prefetch-depth", type=int, default=12)
     args = p.parse_args()
 
     import bench
@@ -49,6 +54,8 @@ def main() -> None:
         "--iterations", str(args.steps), "--eval-interval", "0",
         "--snapshot-interval", str(args.steps),
         "--log-interval", "25", "--seed", "0",
+        "--prefetch-threads", str(args.prefetch_threads),
+        "--prefetch-depth", str(args.prefetch_depth),
     ])
     windows = []
     with open(os.path.join(args.workdir, "metrics.jsonl")) as f:
@@ -65,6 +72,8 @@ def main() -> None:
         "sustained": round(sustained, 1),
         "ratio": round(sustained / resident, 4) if resident else None,
         "unit": "patches/sec/chip (64x64 RGB, batch 384)",
+        "prefetch_threads": args.prefetch_threads,
+        "prefetch_depth": args.prefetch_depth,
         "windows": [round(w, 1) for w in windows],
     }))
 
